@@ -1,0 +1,77 @@
+"""Partitioning & skew policy (SURVEY §4, "Skew handling" row).
+
+The reference has no skew story (one giant PDF starves an RQ worker; closest
+is the MAX_PAGES_PER_BATCH=1000 cap, ``config.py:48-51``).  At 10^12-document
+scale a Common-Crawl corpus is heavily host-skewed (one hot host can hold
+half the crawl — our fixture corpus reproduces exactly that), and crawl files
+cluster by host, so naive file-split partitions put the hot host's documents
+on a handful of executors.
+
+Policy:
+  - ``spread_by_url``: hash-repartition on ``xxhash64(url)`` — URLs are
+    unique, so this is a perfectly uniform spread regardless of host skew;
+    used before the (narrow) extraction map when the input is host-clustered.
+  - ``with_host_salt``: for *per-host* aggregations (where the host IS the
+    key and hashing the url away is not allowed), split hot keys across
+    ``n_salts`` sub-keys; aggregate partially per (host, salt), then merge —
+    the classic two-level salted aggregation.
+  - AQE stays on (session default) for runtime skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of(url_col="url"):
+    """Host component of the url (pure column expression, JVM-side)."""
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def spread_by_url(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Uniform spread by url hash; kills host-clustering before a narrow map."""
+    key = F.xxhash64("url")
+    return df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
+
+
+def plan_extraction_partitions(
+    df: DataFrame,
+    default_parallelism: int,
+    rows_per_partition: int = 2000,
+    max_partitions: int = 100_000,
+    row_count: int | None = None,
+) -> DataFrame:
+    """Size partitions so each task holds ~rows_per_partition documents.
+
+    At 100 TB the per-task input must be bounded by bytes, not files; for the
+    pages table (payloads ~1-200 KB) a row budget is the stable proxy.  The
+    partition count is rounded up to a multiple of the parallelism so no
+    final straggler wave runs half-empty.
+    """
+    n = row_count if row_count is not None else df.count()
+    want = max(1, (n + rows_per_partition - 1) // rows_per_partition)
+    waves = max(1, (want + default_parallelism - 1) // default_parallelism)
+    return spread_by_url(df, min(waves * default_parallelism, max_partitions))
+
+
+def with_host_salt(df: DataFrame, n_salts: int = 16, url_col: str = "url") -> DataFrame:
+    """Add (host, salt) columns for two-level salted per-host aggregation.
+
+    salt = pmod(xxhash64(url), n_salts) is deterministic per row (no rand()),
+    so retries and resume reproduce identical partitioning.
+    """
+    return df.withColumn("host", host_of(url_col)).withColumn(
+        "salt", F.pmod(F.xxhash64(url_col), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_host_counts(df: DataFrame, n_salts: int = 16, url_col: str = "url") -> DataFrame:
+    """docs-per-host via two-level aggregation (partial per (host,salt))."""
+    return (
+        with_host_salt(df, n_salts, url_col)
+        .groupBy("host", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("host")
+        .agg(F.sum("c").alias("n_docs"))
+    )

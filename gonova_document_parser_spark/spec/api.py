@@ -1,0 +1,119 @@
+"""Top-level per-document extraction API — classify -> route -> extract ->
+ordered merge, with exact reference byte formats (pure Python, no Spark).
+
+Byte contracts grafted from the reference:
+  - page merge: ``<!-- Page {n} -->\\n\\n{content}`` joined by
+    ``\\n\\n---\\n\\n``  (``async_processor.py:273-293`` and
+    ``mineru_processor.py:333-348`` — both generations use this format).
+  - error marker: ``[Error processing page {n}: {msg}]``
+    (``mineru_processor.py:255-258``).
+
+This module is the oracle; ``operators/extract.py`` runs the same function
+inside Arrow batches, so engine output is byte-identical by construction.
+"""
+
+from __future__ import annotations
+
+from .classify import classify_page_type
+from .htmlx import extract_html_blocks
+from .pdfx import extract_pdf_pages
+
+PAGE_SEPARATOR = "\n\n---\n\n"
+BLOCK_SEPARATOR = "\n\n"
+
+NO_TEXT_LAYER_MSG = "no extractable text layer"
+
+
+def page_marker(page_num: int) -> str:
+    """1-indexed page comment prefix (async_processor.py:288-291)."""
+    return f"<!-- Page {page_num} -->"
+
+
+def error_marker(page_num: int, msg: str) -> str:
+    """Exact legacy error-row format (mineru_processor.py:258)."""
+    return f"[Error processing page {page_num}: {msg}]"
+
+
+def merge_pages(page_texts: list[str]) -> str:
+    """Ordered merge with page markers — the A1 operator (SURVEY §2.1)."""
+    return PAGE_SEPARATOR.join(
+        f"{page_marker(i + 1)}\n\n{content}" for i, content in enumerate(page_texts)
+    )
+
+
+def _assemble(pages_blocks: list[list[tuple[str, str]]]):
+    """[(kind,text)] per page -> (merged_text, spans, n_blocks).
+
+    Spans are (start, end, kind) char offsets into the merged text covering
+    content blocks only (page markers/separators carry no span).
+    """
+    page_texts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    n_blocks = 0
+    offset = 0
+    for i, blocks in enumerate(pages_blocks):
+        marker = f"{page_marker(i + 1)}\n\n"
+        if i > 0:
+            offset += len(PAGE_SEPARATOR)
+        offset += len(marker)
+        texts = []
+        for j, (kind, text) in enumerate(blocks):
+            if j > 0:
+                offset += len(BLOCK_SEPARATOR)
+            spans.append((offset, offset + len(text), kind))
+            offset += len(text)
+            texts.append(text)
+            n_blocks += 1
+        page_texts.append(BLOCK_SEPARATOR.join(texts))
+    return merge_pages(page_texts), spans, n_blocks
+
+
+def extract_document(data: bytes) -> dict:
+    """Classify and extract one document's raw bytes.
+
+    Returns a plain dict (Arrow-friendly):
+      page_type: 'html' | 'pdf' | 'scanned'
+      extracted_text: merged text with page markers (byte contract)
+      spans: [(start, end, kind)] into extracted_text
+      n_blocks, success, error
+    """
+    page_type = classify_page_type(data if isinstance(data, bytes) else bytes(data))
+    try:
+        if page_type == "html":
+            pages_blocks = [extract_html_blocks(data)]
+        elif page_type == "pdf":
+            pages_blocks = extract_pdf_pages(data)
+            if not pages_blocks:
+                pages_blocks = [[]]
+        else:  # scanned: no extractor shipped -> deterministic error row
+            msg = error_marker(1, NO_TEXT_LAYER_MSG)
+            text, spans, _ = _assemble([[("error", msg)]])
+            return {
+                "page_type": page_type,
+                "extracted_text": text,
+                "spans": spans,
+                "n_blocks": 0,
+                "success": False,
+                "error": msg,
+            }
+    except Exception as exc:  # semantic failure -> error row, never task failure
+        msg = error_marker(1, str(exc))
+        text, spans, _ = _assemble([[("error", msg)]])
+        return {
+            "page_type": page_type,
+            "extracted_text": text,
+            "spans": spans,
+            "n_blocks": 0,
+            "success": False,
+            "error": msg,
+        }
+
+    text, spans, n_blocks = _assemble(pages_blocks)
+    return {
+        "page_type": page_type,
+        "extracted_text": text,
+        "spans": spans,
+        "n_blocks": n_blocks,
+        "success": True,
+        "error": None,
+    }

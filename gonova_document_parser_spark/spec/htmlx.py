@@ -1,0 +1,344 @@
+"""Deterministic HTML main-content extraction (pure Python, no Spark).
+
+Pipeline: tokenize -> lightweight DOM -> per-subtree text-density /
+link-density scoring -> best-candidate selection -> boilerplate strip ->
+normalized block list ``[(kind, text)]``.
+
+This re-expresses the reference's classify/route heuristics
+(``/root/reference/document_parser/page_classifier.py:35-112``) for a web
+corpus: instead of routing pages to external OCR models, we deterministically
+select the highest text-density, lowest link-density subtree and strip
+boilerplate (nav/header/footer/aside/script/style), which is the standard
+densitometric boilerplate-removal approach from the public literature
+(Kohlschütter et al., boilerpipe; readability).
+
+Everything here is deterministic: no dict-order dependence (insertion order
+only), no hashing, no randomness; unicode is normalized via NFC and
+whitespace collapsed early so output bytes are stable across platforms.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+import unicodedata
+
+# Tags whose entire subtree is boilerplate and never contributes content.
+BOILERPLATE_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "form",
+        "button",
+        "select",
+        "option",
+        "label",
+        "iframe",
+        "svg",
+        "head",
+    }
+)
+
+# Void elements: never pushed on the open-element stack.
+VOID_TAGS = frozenset(
+    {
+        "area",
+        "base",
+        "br",
+        "col",
+        "embed",
+        "hr",
+        "img",
+        "input",
+        "link",
+        "meta",
+        "param",
+        "source",
+        "track",
+        "wbr",
+    }
+)
+
+# Elements that emit one output block each (top-most wins; no nesting).
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_PARAGRAPH = frozenset({"p"})
+_LIST_ITEM = frozenset({"li", "dt", "dd"})
+_OTHER_BLOCK = frozenset({"pre", "blockquote", "td", "th", "figcaption", "caption"})
+BLOCK_EMITTING = _HEADINGS | _PARAGRAPH | _LIST_ITEM | _OTHER_BLOCK
+
+# Containers we recurse through (flushing any pending inline run first).
+CONTAINER_TAGS = frozenset(
+    {
+        "html",
+        "body",
+        "div",
+        "article",
+        "main",
+        "section",
+        "ul",
+        "ol",
+        "dl",
+        "table",
+        "thead",
+        "tbody",
+        "tfoot",
+        "tr",
+        "figure",
+        "details",
+        "summary",
+        "fieldset",
+        "center",
+    }
+)
+
+# Subtree-score candidates (the "route" targets).
+CANDIDATE_TAGS = frozenset({"body", "main", "article", "div", "section", "td"})
+
+# An open <p>/<li>/<td>/<tr> is implicitly closed by a sibling of the same tag.
+_AUTOCLOSE_SIBLING = frozenset({"p", "li", "td", "th", "tr", "option", "dt", "dd"})
+
+_TAG_NAME_RE = re.compile(r"/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+
+
+class Node:
+    """Minimal DOM node. ``tag`` is ``#text`` for text nodes."""
+
+    __slots__ = ("tag", "children", "text", "order")
+
+    def __init__(self, tag: str, order: int, text: str = "") -> None:
+        self.tag = tag
+        self.children: list[Node] = []
+        self.text = text
+        self.order = order
+
+
+def _normalize_text(s: str) -> str:
+    """NFC-normalize and collapse all whitespace runs to single spaces."""
+    return " ".join(unicodedata.normalize("NFC", s).split())
+
+
+def tokenize(src: str):
+    """Yield ('open', tag) / ('close', tag) / ('text', s) tokens.
+
+    Comments, doctype and processing instructions are dropped; raw-text
+    element contents (script/style) are skipped entirely.
+    """
+    tokens: list[tuple[str, str]] = []
+    low = src.lower()
+    i, n = 0, len(src)
+    while i < n:
+        lt = src.find("<", i)
+        if lt == -1:
+            tokens.append(("text", src[i:]))
+            break
+        if lt > i:
+            tokens.append(("text", src[i:lt]))
+        if src.startswith("<!--", lt):
+            end = src.find("-->", lt + 4)
+            i = n if end == -1 else end + 3
+            continue
+        if src.startswith("<!", lt) or src.startswith("<?", lt):
+            end = src.find(">", lt)
+            i = n if end == -1 else end + 1
+            continue
+        gt = src.find(">", lt)
+        if gt == -1:
+            tokens.append(("text", src[lt:]))
+            break
+        raw = src[lt + 1 : gt]
+        i = gt + 1
+        m = _TAG_NAME_RE.match(raw)
+        if m is None:
+            tokens.append(("text", src[lt : gt + 1]))
+            continue
+        tag = m.group(1).lower()
+        if raw.startswith("/"):
+            tokens.append(("close", tag))
+            continue
+        self_closing = raw.rstrip().endswith("/")
+        tokens.append(("open", tag))
+        if self_closing and tag not in VOID_TAGS:
+            tokens.append(("close", tag))
+        elif tag in ("script", "style") and not self_closing:
+            close = low.find("</" + tag, i)
+            if close == -1:
+                i = n
+            else:
+                gt2 = src.find(">", close)
+                i = n if gt2 == -1 else gt2 + 1
+    return tokens
+
+
+def parse(src: str) -> Node:
+    """Build a lightweight DOM tree with forgiving error recovery."""
+    root = Node("#root", 0)
+    stack = [root]
+    order = 0
+    for tok in tokenize(src):
+        kind = tok[0]
+        if kind == "text":
+            text = tok[1]
+            if text.strip():
+                order += 1
+                stack[-1].children.append(Node("#text", order, text))
+        elif kind == "open":
+            tag = tok[1]
+            if tag in _AUTOCLOSE_SIBLING and stack[-1].tag == tag:
+                stack.pop()
+            order += 1
+            node = Node(tag, order)
+            stack[-1].children.append(node)
+            if tag not in VOID_TAGS:
+                stack.append(node)
+        else:  # close
+            tag = tok[1]
+            for depth in range(len(stack) - 1, 0, -1):
+                if stack[depth].tag == tag:
+                    del stack[depth:]
+                    break
+            # unmatched close tag: ignored
+    return root
+
+
+def _measure(node: Node, in_link: bool, out: dict[int, tuple[int, int]]) -> tuple[int, int]:
+    """Per-subtree (text_len, link_text_len), excluding boilerplate subtrees."""
+    if node.tag == "#text":
+        ln = len(_normalize_text(_htmlmod.unescape(node.text)))
+        return (ln, ln if in_link else 0)
+    if node.tag in BOILERPLATE_TAGS:
+        out[id(node)] = (0, 0)
+        return (0, 0)
+    child_link = in_link or node.tag == "a"
+    total = 0
+    link_total = 0
+    for c in node.children:
+        t, l = _measure(c, child_link, out)
+        total += t
+        link_total += l
+    out[id(node)] = (total, link_total)
+    return (total, link_total)
+
+
+def _find_body(root: Node) -> Node:
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if n.tag == "body":
+            return n
+        stack.extend(reversed([c for c in n.children if c.tag != "#text"]))
+    return root
+
+
+def select_candidate(root: Node) -> Node:
+    """Pick the content subtree: max text_len * (1 - link_density)**2.
+
+    Deterministic tie-break: earliest in document order.  The squared
+    link-density penalty makes link-farm sidebars and index pages lose to
+    running text even when they have comparable raw length.
+    """
+    scope = _find_body(root)
+    measures: dict[int, tuple[int, int]] = {}
+    _measure(scope, False, measures)
+
+    best = scope
+    best_score = -1.0
+    stack = [scope]
+    ordered: list[Node] = []
+    while stack:
+        n = stack.pop()
+        ordered.append(n)
+        stack.extend(reversed([c for c in n.children if c.tag != "#text"]))
+    for n in ordered:  # document order, so strict '>' keeps the earliest
+        if n.tag not in CANDIDATE_TAGS and n is not scope:
+            continue
+        text_len, link_len = measures.get(id(n), (0, 0))
+        if text_len <= 0:
+            continue
+        density = 1.0 - (link_len / text_len)
+        score = text_len * density * density
+        if score > best_score:
+            best_score = score
+            best = n
+    return best
+
+
+def _block_kind(tag: str) -> str:
+    if tag in _HEADINGS:
+        return "heading"
+    if tag in _PARAGRAPH:
+        return "paragraph"
+    if tag in _LIST_ITEM:
+        return "list"
+    return "block"
+
+
+def _subtree_text(node: Node) -> str:
+    parts: list[str] = []
+
+    def walk(n: Node) -> None:
+        if n.tag == "#text":
+            parts.append(_htmlmod.unescape(n.text))
+            return
+        if n.tag in BOILERPLATE_TAGS:
+            return
+        for c in n.children:
+            walk(c)
+
+    walk(node)
+    return _normalize_text(" ".join(parts))
+
+
+def emit_blocks(candidate: Node) -> list[tuple[str, str]]:
+    """Walk the chosen subtree in document order and emit (kind, text) blocks.
+
+    Block-emitting elements produce one block each (top-most wins); runs of
+    inline content directly inside containers become anonymous 'block's.
+    Boilerplate subtrees are stripped. Empty blocks are dropped.
+    """
+    blocks: list[tuple[str, str]] = []
+    pending: list[str] = []
+
+    def flush() -> None:
+        if pending:
+            text = _normalize_text(" ".join(pending))
+            pending.clear()
+            if text:
+                blocks.append(("block", text))
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            if c.tag == "#text":
+                pending.append(_htmlmod.unescape(c.text))
+            elif c.tag in BOILERPLATE_TAGS:
+                continue
+            elif c.tag in BLOCK_EMITTING:
+                flush()
+                text = _subtree_text(c)
+                if text:
+                    blocks.append((_block_kind(c.tag), text))
+            elif c.tag in CONTAINER_TAGS:
+                flush()
+                walk(c)
+            else:  # inline element: contributes to the pending run
+                pending.append(_subtree_text(c))
+
+    if candidate.tag in BLOCK_EMITTING:
+        text = _subtree_text(candidate)
+        return [(_block_kind(candidate.tag), text)] if text else []
+    walk(candidate)
+    flush()
+    return blocks
+
+
+def extract_html_blocks(data: bytes) -> list[tuple[str, str]]:
+    """bytes -> [(kind, normalized_text)] for the main-content subtree."""
+    src = data.decode("utf-8", errors="replace")
+    root = parse(src)
+    candidate = select_candidate(root)
+    return emit_blocks(candidate)

@@ -1,0 +1,373 @@
+"""Deterministic PDF text-layer extraction (pure Python, no Spark).
+
+Parses the PDF object graph (xref-less scan), decodes content streams
+(including /FlateDecode via zlib), interprets the text operators
+(BT/ET, Td/TD/Tm/T*, Tj/TJ/'/\"), then reconstructs reading order:
+items -> lines (y-clustering) -> columns (x-gap split) -> blocks
+(vertical-gap segmentation), columns read left-to-right, lines
+top-to-bottom.
+
+This replaces the reference's render-page-to-bitmap -> external-OCR path
+(``/root/reference/document_parser/mineru_processor.py:150-176,264-331``)
+with a deterministic text-layer parse, per the build target: same
+per-page -> ordered-merge semantics, no model calls.
+
+Limits (documented spec, pinned by fixtures): only literal ``(...)`` and hex
+``<...>`` strings; no CMap/Unicode font decoding (bytes are treated as
+latin-1); no rotation (only the translation part of ``Tm`` is used).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# Geometry thresholds (PDF user-space units, 1/72 inch).
+LINE_Y_TOLERANCE = 2.0  # items within this |dy| are one line
+BLOCK_GAP = 20.0  # vertical gap starting a new block
+COLUMN_GAP = 100.0  # x-gap between line starts that splits columns
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Object number -> raw object body (brute-force scan; no xref needed)."""
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    raw = m.group(1)
+    if b"/FlateDecode" in body[: m.start()]:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Content streams in page order (catalog -> pages -> kids -> contents).
+
+    Falls back to all BT-containing streams ordered by object number when the
+    object graph doesn't parse (truncated / malformed files).
+    """
+    objs = _scan_objects(data)
+    page_order: list[int] = []
+    kids_obj = None
+    for num in sorted(objs):
+        body = objs[num]
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
+            kids_obj = body
+            break
+    if kids_obj is not None:
+        km = re.search(rb"/Kids\s*\[(.*?)\]", kids_obj, re.S)
+        if km:
+            page_order = [int(m.group(1)) for m in _REF_RE.finditer(km.group(1))]
+
+    streams: list[bytes] = []
+    if page_order:
+        for pnum in page_order:
+            body = objs.get(pnum)
+            if body is None:
+                continue
+            cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+            if cm is None:
+                continue
+            for rm in _REF_RE.finditer(cm.group(1)):
+                s = _stream_bytes(objs.get(int(rm.group(1)), b""))
+                if s is not None:
+                    streams.append(s)
+        if streams:
+            return streams
+    # fallback: any stream containing a text object, by object number
+    for num in sorted(objs):
+        s = _stream_bytes(objs[num])
+        if s is not None and b"BT" in s:
+            streams.append(s)
+    return streams
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Decode a literal PDF string body (between parens), latin-1 charset."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b != 0x5C:  # backslash
+            out.append(b)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        c = raw[i]
+        if c in b"nrtbf":
+            out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[c])
+            i += 1
+        elif c in b"()\\":
+            out.append(c)
+            i += 1
+        elif 0x30 <= c <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < n and j < i + 3 and 0x30 <= raw[j] <= 0x37:
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        elif c in (10, 13):  # line continuation
+            i += 1
+            if c == 13 and i < n and raw[i] == 10:
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("latin-1")
+
+
+def _tokenize_content(stream: bytes):
+    """Yield ('str', text) / ('num', float) / ('op', name) / ('arr', list)."""
+    i, n = 0, len(stream)
+    while i < n:
+        b = stream[i]
+        if b in b" \t\r\n\x00":
+            i += 1
+            continue
+        if b == 0x28:  # (
+            depth = 1
+            j = i + 1
+            start = j
+            buf = bytearray()
+            while j < n and depth > 0:
+                c = stream[j]
+                if c == 0x5C and j + 1 < n:
+                    buf.extend(stream[j : j + 2])
+                    j += 2
+                    continue
+                if c == 0x28:
+                    depth += 1
+                elif c == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf.append(c)
+                j += 1
+            yield ("str", _decode_pdf_string(bytes(buf)))
+            i = j + 1
+            continue
+        if b == 0x3C and i + 1 < n and stream[i + 1] != 0x3C:  # <hex>
+            j = stream.find(b">", i)
+            if j == -1:
+                break
+            hexs = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                yield ("str", bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        if b == 0x3C:  # << dict — skip balanced
+            depth = 0
+            j = i
+            while j < n - 1:
+                if stream[j : j + 2] == b"<<":
+                    depth += 1
+                    j += 2
+                elif stream[j : j + 2] == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            i = j
+            continue
+        if b == 0x5B:  # [ array — tokenize inner, collect strings/nums
+            depth = 1
+            j = i + 1
+            while j < n and depth > 0:
+                if stream[j] == 0x5B:
+                    depth += 1
+                elif stream[j] == 0x5D:
+                    depth -= 1
+                elif stream[j] == 0x28:  # skip strings so ] inside them is safe
+                    d2 = 1
+                    j += 1
+                    while j < n and d2 > 0:
+                        if stream[j] == 0x5C:
+                            j += 1
+                        elif stream[j] == 0x28:
+                            d2 += 1
+                        elif stream[j] == 0x29:
+                            d2 -= 1
+                        j += 1
+                    continue
+                j += 1
+            yield ("arr", list(_tokenize_content(stream[i + 1 : j - 1])))
+            i = j
+            continue
+        m = _NUM_RE.match(stream, i)
+        if m is not None and m.start() == i:
+            yield ("num", float(m.group(0)))
+            i = m.end()
+            continue
+        m = re.compile(rb"[A-Za-z'\"*]+").match(stream, i)
+        if m is not None:
+            yield ("op", m.group(0).decode("latin-1"))
+            i = m.end()
+        else:
+            i += 1
+
+
+def _items_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
+    """Interpret text operators -> [(x, y, text)] show-text items."""
+    items: list[tuple[float, float, str]] = []
+    x = y = 0.0
+    line_x = line_y = 0.0
+    leading = 12.0
+    stack: list[tuple] = []
+    for tok in _tokenize_content(stream):
+        if tok[0] in ("num", "str", "arr"):
+            stack.append(tok)
+            continue
+        op = tok[1]
+        if op == "BT":
+            x = y = line_x = line_y = 0.0
+            stack.clear()
+        elif op == "Td" and len(stack) >= 2:
+            tx, ty = stack[-2][1], stack[-1][1]
+            line_x += tx
+            line_y += ty
+            x, y = line_x, line_y
+            stack.clear()
+        elif op == "TD" and len(stack) >= 2:
+            tx, ty = stack[-2][1], stack[-1][1]
+            leading = -ty
+            line_x += tx
+            line_y += ty
+            x, y = line_x, line_y
+            stack.clear()
+        elif op == "Tm" and len(stack) >= 6:
+            line_x, line_y = stack[-2][1], stack[-1][1]
+            x, y = line_x, line_y
+            stack.clear()
+        elif op == "T*":
+            line_y -= leading
+            x, y = line_x, line_y
+            stack.clear()
+        elif op == "TL" and stack:
+            leading = stack[-1][1]
+            stack.clear()
+        elif op == "Tj" and stack and stack[-1][0] == "str":
+            text = stack[-1][1]
+            if text:
+                items.append((x, y, text))
+            stack.clear()
+        elif op == "'" and stack and stack[-1][0] == "str":
+            line_y -= leading
+            x, y = line_x, line_y
+            text = stack[-1][1]
+            if text:
+                items.append((x, y, text))
+            stack.clear()
+        elif op == '"' and stack and stack[-1][0] == "str":
+            line_y -= leading
+            x, y = line_x, line_y
+            text = stack[-1][1]
+            if text:
+                items.append((x, y, text))
+            stack.clear()
+        elif op == "TJ" and stack and stack[-1][0] == "arr":
+            text = "".join(t[1] for t in stack[-1][1] if t[0] == "str")
+            if text:
+                items.append((x, y, text))
+            stack.clear()
+        elif op == "ET":
+            stack.clear()
+        else:
+            stack.clear()
+    return items
+
+
+def _items_to_lines(items: list[tuple[float, float, str]]):
+    """Cluster items into lines by y (tolerance), items ordered by x."""
+    lines: list[dict] = []
+    for x, y, text in items:
+        target = None
+        for ln in lines:
+            if abs(ln["y"] - y) <= LINE_Y_TOLERANCE:
+                target = ln
+                break
+        if target is None:
+            target = {"y": y, "items": []}
+            lines.append(target)
+        target["items"].append((x, text))
+    out = []
+    for ln in lines:
+        ln["items"].sort(key=lambda it: it[0])
+        out.append(
+            {
+                "y": ln["y"],
+                "x0": ln["items"][0][0],
+                "text": " ".join(t for _, t in ln["items"]).strip(),
+            }
+        )
+    return [ln for ln in out if ln["text"]]
+
+
+def _split_columns(lines: list[dict]) -> list[list[dict]]:
+    """Split lines into columns at the largest x0 gap >= COLUMN_GAP."""
+    if len(lines) < 2:
+        return [lines]
+    xs = sorted({ln["x0"] for ln in lines})
+    best_gap, split_at = 0.0, None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > best_gap:
+            best_gap, split_at = b - a, (a + b) / 2.0
+    if split_at is None or best_gap < COLUMN_GAP:
+        return [lines]
+    left = [ln for ln in lines if ln["x0"] < split_at]
+    right = [ln for ln in lines if ln["x0"] >= split_at]
+    return [c for c in (left, right) if c]
+
+
+def _lines_to_blocks(lines: list[dict]) -> list[str]:
+    """Within a column: sort top-to-bottom, split blocks at vertical gaps."""
+    ordered = sorted(lines, key=lambda ln: (-ln["y"], ln["x0"]))
+    blocks: list[list[str]] = []
+    prev_y = None
+    for ln in ordered:
+        if prev_y is None or (prev_y - ln["y"]) > BLOCK_GAP:
+            blocks.append([])
+        blocks[-1].append(ln["text"])
+        prev_y = ln["y"]
+    return ["\n".join(b) for b in blocks if b]
+
+
+def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
+    """bytes -> per-page [(kind, text)] blocks in reading order."""
+    pages: list[list[tuple[str, str]]] = []
+    for stream in _page_content_streams(data):
+        items = _items_from_stream(stream)
+        lines = _items_to_lines(items)
+        page_blocks: list[tuple[str, str]] = []
+        for column in _split_columns(lines):
+            for block in _lines_to_blocks(column):
+                page_blocks.append(("block", block))
+        pages.append(page_blocks)
+    return pages
+
+
+def pdf_text_len(data: bytes) -> int:
+    """Total extractable text-layer characters (classifier's 50-char rule)."""
+    total = 0
+    for stream in _page_content_streams(data):
+        for _, _, text in _items_from_stream(stream):
+            total += len(text.strip())
+    return total
