@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship stage-fused extraction over a pages corpus
+                        rendered deterministically from sf0.001 documents.
+``queries()``         — one entry per implemented operator (SURVEY.md §2);
+                        each callable: (spark, sf_dir) -> DataFrame.
+``oracle_sql()``      — DuckDB-equivalent ANSI SQL per query where the op is
+                        SQL-expressible; engine-hash-dependent ops (minhash,
+                        simhash, LSH) and the extraction pipeline itself are
+                        rows-only checked here and byte-identity checked by
+                        the pytest suite (tests/).
+
+Column-name parity rule: every computed column is aliased identically in the
+Spark builder and the SQL string.  Floats are rounded (and DuckDB-side cast
+to DOUBLE, since its ROUND yields DECIMAL) so cross-engine value hashes
+match; timestamps are formatted to fixed-width strings for the same reason.
 """
 
 from __future__ import annotations
@@ -12,27 +21,506 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gonova_document_parser_spark.corpus import pages_from_documents
+from gonova_document_parser_spark.functions.dedup import (
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from gonova_document_parser_spark.functions.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+)
+from gonova_document_parser_spark.functions.textstats import (
+    STOPWORDS,
+    lang_id_expr,
+    normalized_text_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from gonova_document_parser_spark.operators.extract import extract_pages
+from gonova_document_parser_spark.operators.multimodal import media_features
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: render sf0.001 documents into a web corpus, run the
+    stage-fused classify->route->extract->merge operator, return summary."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = pages_from_documents(docs)
+    ext = extract_pages(pages)
+    return ext.select(
+        "url", "page_type", "n_blocks", "success",
+        F.length("extracted_text").alias("text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries: (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _q_extract_pipeline(spark, sf_dir):
+    """M1+A1+C1 fused pipeline (rows-only here; byte-identity in tests/)."""
+    ext = extract_pages(pages_from_documents(_docs(spark, sf_dir)))
+    return ext.select(
+        "url",
+        "page_type",
+        "extracted_text",
+        "n_blocks",
+        "success",
+        F.coalesce("error", F.lit("")).alias("error"),
+    )
+
+
+def _q_classify_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    page_type = (
+        F.when(F.col("n_chars") < 50, "scanned")
+        .when(F.col("n_chars") < 200, "short")
+        .otherwise("native")
+    )
+    return (
+        d.select(page_type.alias("page_type"))
+        .groupBy("page_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _q_native_ratio(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.round(F.avg(F.when(F.col("n_chars") >= 50, 1.0).otherwise(0.0)), 6).alias(
+            "native_ratio"
+        )
+    )
+
+
+def _q_route_breakdown(spark, sf_dir):
+    # grafted router.py:41-89 decision table: low-text -> nanonets
+    # (handwriting-ish), zh -> deepseek-ocr (low native ratio), default deepseek
+    d = _docs(spark, sf_dir)
+    route = (
+        F.when(F.col("n_chars") < 50, "nanonets")
+        .when(F.col("lang") == "zh", "deepseek-ocr")
+        .otherwise("deepseek")
+    )
+    return d.select(route.alias("route")).groupBy("route").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def _q_recent_jobs_topk(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts_str"),
+            "event_type",
+            F.round("value", 4).alias("value_r"),
+        )
+    )
+
+
+def _q_ordered_merge(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    merged = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ),
+        "\n\n---\n\n",
+    )
+    return d.groupBy("source").agg(merged.alias("merged"))
+
+
+def _q_merge_page_markers(spark, sf_dir):
+    # exact A1 byte format: "<!-- Page n -->\n\n{text}" joined "\n\n---\n\n"
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("arr"))
+        .select(
+            "source",
+            F.array_join(
+                F.transform(
+                    "arr",
+                    lambda x, i: F.concat(
+                        F.lit("<!-- Page "),
+                        (i + 1).cast("string"),
+                        F.lit(" -->\n\n"),
+                        x["text"],
+                    ),
+                ),
+                "\n\n---\n\n",
+            ).alias("merged"),
+        )
+    )
+
+
+def _q_status_stats(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _q_cleanup_old(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.where(F.col("ts") < F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_deleted"))
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), _TS_FMT_SPARK).alias("hour_str"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _q_top_users_by_value(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("total_value"), F.col("user_id"))
+        .limit(50)
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_nation_revenue(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dup_groups(_docs(spark, sf_dir)).select("fp", "n_dups", "keeper")
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_token_count_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.sum(token_count_expr("text")).alias("total_tokens"),
+        F.round(F.avg(token_count_expr("text")), 6).alias("avg_tokens"),
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score_expr("text").alias("qscore"))
+
+
+def _q_lang_id_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.col("lang").alias("lang_true"), lang_id_expr("text").alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.md5(normalized_text_expr("text")).alias("fp"))
+
+
+def _q_salted_counts(spark, sf_dir):
+    # two-level salted aggregation == plain group count (skew pattern demo)
+    d = _docs(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int")
+    )
+    return (
+        d.groupBy("source", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum("c").alias("n_docs"))
+    )
+
+
+def _q_emb_topk_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, [float(v) for v in q], k=20)
+
+
+def _q_ann_topk_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return ann_topk_lsh(emb, q, dim=len(q), k=10)
+
+
+def _q_media_features(spark, sf_dir):
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return media_features(pages.where(~F.col("url").isNull()), fake=True).select(
+        "url", "media_type", "width", "height", "n_bytes"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_pipeline": _q_extract_pipeline,
+        "classify_counts": _q_classify_counts,
+        "native_ratio": _q_native_ratio,
+        "route_breakdown": _q_route_breakdown,
+        "recent_jobs_topk": _q_recent_jobs_topk,
+        "ordered_merge": _q_ordered_merge,
+        "merge_page_markers": _q_merge_page_markers,
+        "status_stats": _q_status_stats,
+        "cleanup_old": _q_cleanup_old,
+        "events_hourly": _q_events_hourly,
+        "top_users_by_value": _q_top_users_by_value,
+        "pricing_summary": _q_pricing_summary,
+        "nation_revenue": _q_nation_revenue,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash": _q_simhash,
+        "token_count_stats": _q_token_count_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id_counts": _q_lang_id_counts,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "salted_counts": _q_salted_counts,
+        "emb_topk_cosine": _q_emb_topk_cosine,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — keys must match queries(); omitted keys are
+# rows-only checks (engine-hash-dependent or pipeline ops; those have their
+# own byte-identity / invariant coverage in tests/).
+# --------------------------------------------------------------------------
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+
+_LANG_HITS = {
+    lang: (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"t -> t IN ({_SW[lang]})))"
+    )
+    for lang in ("en", "fr", "es", "de")
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jaccard = "(n_inter * 1.0 / (n_a + n_b - n_inter))"
+    return {
+        "classify_counts": """
+            SELECT CASE WHEN n_chars < 50 THEN 'scanned'
+                        WHEN n_chars < 200 THEN 'short'
+                        ELSE 'native' END AS page_type,
+                   COUNT(*) AS c
+            FROM documents GROUP BY 1
+        """,
+        "native_ratio": """
+            SELECT lang,
+                   ROUND(AVG(CASE WHEN n_chars >= 50 THEN 1.0 ELSE 0.0 END), 6)::DOUBLE
+                     AS native_ratio
+            FROM documents GROUP BY lang
+        """,
+        "route_breakdown": """
+            SELECT CASE WHEN n_chars < 50 THEN 'nanonets'
+                        WHEN lang = 'zh' THEN 'deepseek-ocr'
+                        ELSE 'deepseek' END AS route,
+                   COUNT(*) AS c
+            FROM documents GROUP BY 1
+        """,
+        "recent_jobs_topk": f"""
+            SELECT event_id,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS ts_str,
+                   event_type,
+                   ROUND(value, 4)::DOUBLE AS value_r
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+        "ordered_merge": """
+            SELECT source,
+                   STRING_AGG(text, chr(10)||chr(10)||'---'||chr(10)||chr(10)
+                              ORDER BY doc_id) AS merged
+            FROM documents GROUP BY source
+        """,
+        "merge_page_markers": """
+            WITH numbered AS (
+                SELECT source, text,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents)
+            SELECT source,
+                   STRING_AGG('<!-- Page ' || rn || ' -->' || chr(10) || chr(10) || text,
+                              chr(10)||chr(10)||'---'||chr(10)||chr(10) ORDER BY rn)
+                     AS merged
+            FROM numbered GROUP BY source
+        """,
+        "status_stats": "SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type",
+        "cleanup_old": """
+            SELECT event_type, COUNT(*) AS n_deleted
+            FROM events WHERE ts < TIMESTAMP '2024-06-01' GROUP BY event_type
+        """,
+        "events_hourly": f"""
+            SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS hour_str,
+                   event_type, COUNT(*) AS c,
+                   ROUND(SUM(value), 4)::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users_by_value": """
+            SELECT user_id, ROUND(SUM(value), 4)::DOUBLE AS total_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 50
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)::DOUBLE AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+                   ROUND(AVG(l_discount), 6)::DOUBLE AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 2)::DOUBLE AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)::DOUBLE
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "token_count_stats": """
+            SELECT lang,
+                   SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS total_tokens,
+                   ROUND(AVG(len(string_split_regex(lower(trim(text)), '\\s+'))), 6)::DOUBLE
+                     AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   ROUND(
+                     LEAST(length(text) / 500.0, 1.0) * 0.5 +
+                     CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                          THEN {_LANG_HITS['en']} * 1.0 /
+                               len(string_split_regex(lower(trim(text)), '\\s+'))
+                          ELSE 0.0 END * 0.5,
+                   6)::DOUBLE AS qscore
+            FROM documents
+        """,
+        "lang_id_counts": f"""
+            WITH hits AS (
+                SELECT lang AS lang_true,
+                       {_LANG_HITS['en']} AS h_en, {_LANG_HITS['fr']} AS h_fr,
+                       {_LANG_HITS['es']} AS h_es, {_LANG_HITS['de']} AS h_de,
+                       regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+                FROM documents),
+            pred AS (
+                SELECT lang_true,
+                       CASE WHEN has_cjk THEN 'zh'
+                            WHEN GREATEST(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+                            WHEN h_en = GREATEST(h_en, h_fr, h_es, h_de) THEN 'en'
+                            WHEN h_fr = GREATEST(h_en, h_fr, h_es, h_de) THEN 'fr'
+                            WHEN h_es = GREATEST(h_en, h_fr, h_es, h_de) THEN 'es'
+                            ELSE 'de' END AS lang_pred
+                FROM hits)
+            SELECT lang_true, lang_pred, COUNT(*) AS c FROM pred GROUP BY 1, 2
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "salted_counts": "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+        "emb_topk_cosine": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+                     4)::DOUBLE AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+    }

@@ -205,6 +205,114 @@ def make_page(i: int, seed: int = SEED) -> dict:
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def _chunks(words: list[str], size: int) -> list[list[str]]:
+    return [words[i : i + size] for i in range(0, len(words), size)] or [[]]
+
+
+def render_doc_html(doc_id: int, text: str) -> bytes:
+    """Deterministically wrap a document's text in boilerplate-laden HTML.
+
+    Pure function of (doc_id, text) — used to turn the driver's ``documents``
+    table into a pages corpus whose main content is the document text, so
+    the flagship extraction query runs end-to-end on driver testdata.
+    """
+    words = text.split()
+    paras = "".join(f"<p>{' '.join(ch)}</p>" for ch in _chunks(words, 12))
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>Doc {doc_id}</title><style>.m{{x:1}}</style>"
+        "<script>var noise='<p>x</p>';</script></head><body>"
+        f"<header><h1>Doc {doc_id}</h1></header>"
+        "<nav><ul>"
+        + "".join(f'<li><a href="/s/{k}">section {k} link text</a></li>' for k in range(6))
+        + "</ul></nav>"
+        '<aside><p><a href="/r/1">related article one</a></p>'
+        '<p><a href="/r/2">related article two</a></p></aside>'
+        f'<div id="content"><h2>Document {doc_id}</h2>{paras}</div>'
+        '<footer><p>© corpus <a href="/about">about</a></p></footer>'
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def render_doc_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic single-page PDF whose text layer is the document text."""
+    words = text.split()
+    ops = []
+    y = 760.0
+    for k, line_words in enumerate(_chunks(words, 6)):
+        line = _pdf_escape(" ".join(line_words) or f"doc {doc_id}")
+        ops.append(f"BT 1 0 0 1 50.0 {y:.1f} Tm ({line}) Tj ET")
+        y -= 14.0
+        if k % 4 == 3:
+            y -= 30.0
+    data = "\n".join(ops).encode("latin-1")
+    head = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+    )
+    return (
+        head
+        + b"4 0 obj\n<< /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def render_doc_scanned(doc_id: int) -> bytes:
+    """%PDF magic, sub-threshold text layer (deterministic scanned stub)."""
+    data = b"BT 1 0 0 1 50 700 Tm (scan %d) Tj ET" % doc_id
+    head = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    )
+    return (
+        head
+        + b"4 0 obj\n<< /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
+    """documents-table row -> pages-table row (pure, deterministic).
+
+    doc_id % 10: 0-6 html, 7-8 pdf, 9 scanned — fixed mix, no RNG.
+    """
+    m = doc_id % 10
+    if m <= 6:
+        payload = render_doc_html(doc_id, text)
+    elif m <= 8:
+        payload = render_doc_pdf(doc_id, text)
+    else:
+        payload = render_doc_scanned(doc_id)
+    return {
+        "url": f"https://docs.example.com/d/{doc_id}",
+        "warc_ts": EPOCH + datetime.timedelta(seconds=int(doc_id)),
+        "html": payload,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def pages_from_documents(docs_df):
+    """documents(doc_id, text, lang, ...) -> pages corpus, distributed."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                doc_to_page(int(d), t if isinstance(t, str) else "", l or "und")
+                for d, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+            ]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs_df.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_DDL)
+
+
 def generate_pages(spark, n_rows: int, seed: int = SEED, num_partitions: int | None = None):
     """Distributed deterministic generation: spark.range -> mapInPandas."""
     import pandas as pd

@@ -1,0 +1,187 @@
+"""Deduplication operators for webtext curation — Spark-first designs.
+
+All hot paths are built-in column expressions (JVM, codegen); the only
+shuffles are the groupBys/joins that the algorithms inherently require:
+
+  - exact:          1 shuffle (groupBy md5 of normalized text)
+  - n-gram Jaccard: explode shingles -> self-join on shingle -> 1 agg
+  - MinHash+LSH:    explode -> per-doc min-agg (1 shuffle) -> band hash ->
+                    self-join on (band, hash) — candidates only, verify after
+  - SimHash:        explode tokens -> 64 bit-vote aggs in ONE groupBy pass
+
+Scale notes: shingle self-joins are quadratic per shingle bucket, so the
+LSH path (band join) is the 100 TB road; the Jaccard join is the oracle-
+checkable exact method for verification at small scale.  Hot shingles
+(stopword runs) are capped via ``max_docs_per_shingle`` to bound bucket
+blowup — the same idea as dropping ubiquitous shingles in public MinHash
+implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import normalized_text_expr, tokens_expr
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, via sequence/transform (no UDF)."""
+    toks = tokens_expr(text_col)
+    # sequence(0, m) counts *down* when m < 0, so short docs need the guard
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word n-gram shingles.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_docs_per_shingle is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_docs_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over shingles of
+    xxhash64(i, shingle).  One explode + ONE groupBy computes all
+    ``num_hashes`` minima (single shuffle; map-side partial min)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    shingle -> minhash -> band -> bucket-join; returns distinct
+    (id_a, id_b) with id_a < id_b.  The self-join keys on (band_id,
+    band_hash) so only same-bucket docs meet — this is the 100 TB-scale
+    near-dup path (verify candidates with ``ngram_jaccard_pairs`` or
+    signature agreement afterwards)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, entirely with built-in aggregations.
+
+    Token hash bits vote +1/-1 per position; the sign vector packs into one
+    BIGINT.  64 conditional-sum aggregates run in a single groupBy pass
+    (one shuffle, map-side combine) — no Python in the loop.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(63)  # bit 63 left clear: keeps the packed value non-negative
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(63):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return agg.select(F.col(id_col), packed.alias("simhash"))

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with built-in higher-order functions
+(``zip_with`` dot product + ``aggregate`` sum — JVM-side, no UDF).  Scale
+path: random-hyperplane LSH bucketing — each vector hashes to a sign-bit
+bucket per table; only same-bucket pairs are scored, turning the O(n²)
+cross join into per-bucket joins.  Hyperplanes are derived deterministically
+from a seed via xxhash64 (no RNG state), so retries and resume reproduce
+identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sum over zip_with products, accumulated in DOUBLE, left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector — the correctness baseline.
+
+    Single narrow pass + TakeOrderedAndProject (no shuffle of vectors);
+    cosine rounded to 4dp with id tie-break so ordering is deterministic
+    across engines and partitionings.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_cosine_neardups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact; small-scale verifier)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
+def _hyperplane(dim: int, table: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from integer hashing.
+
+    Component c = ((xxhash-style integer mix of (seed,table,plane,c)) scaled
+    to [-1,1]).  Pure function — no RNG object, no ordering dependence.
+    """
+    out = []
+    for c in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + table * 0xBF58476D1CE4E5B9 + plane * 0x94D049BB133111EB + c) & (
+            (1 << 64) - 1
+        )
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        x ^= x >> 31
+        out.append((x / float(1 << 63)) - 1.0)
+    return out
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) — sign-bit bucket per hash table, via built-ins."""
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t, p, seed)])
+            bit = F.when(dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*tables)).alias("tb")
+    ).select(id_col, "tb.table_id", "tb.bucket")
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket in any table (the scale path).
+
+    Bucket join replaces the O(n²) cross join; expected bucket occupancy is
+    n / 2^n_planes per table, so join cost is sum of squared bucket sizes.
+    """
+    b = lsh_buckets(df, dim, n_tables, n_planes, seed, id_col, vec_col)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing a bucket with the query.
+
+    The query's buckets are computed driver-side (pure Python on one vector)
+    and pushed down as an IN filter — the scan prunes to candidate buckets
+    before any cosine is evaluated.
+    """
+    def dot(a: list[float], b: list[float]) -> float:
+        return sum(x * y for x, y in zip(a, b))
+
+    wanted = set()
+    for t in range(n_tables):
+        bucket = 0
+        for p in range(n_planes):
+            if dot(query_vec, _hyperplane(dim, t, p, seed)) >= 0:
+                bucket |= 1 << p
+        wanted.add((t, bucket))
+
+    b = lsh_buckets(df, dim, n_tables, n_planes, seed, id_col, vec_col)
+    cond = None
+    for t, bk in sorted(wanted):
+        c = (F.col("table_id") == t) & (F.col("bucket") == bk)
+        cond = c if cond is None else (cond | c)
+    cand_ids = b.where(cond).select(id_col).distinct()
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
+    return (
+        df.join(cand_ids, id_col)
+        .select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

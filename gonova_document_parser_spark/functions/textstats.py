@@ -1,0 +1,108 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side.
+
+Every function here returns pure Column expressions built from
+``pyspark.sql.functions`` (whole-stage-codegen eligible, no Python in the hot
+path): language-ID (stopword/CJK heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + word-regex),
+and document fingerprinting.  The reference's nearest analog is its ad-hoc
+string heuristics (``nanonets_processor.py:261-279`` signature keyword scan,
+``page_classifier.py:94-106`` text-length rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets — heuristic language ID, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "la", "y", "de", "los", "que", "un"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "ist"],
+}
+_CJK_RE = "[一-鿿]"  # actual CJK range chars, not escape sequences
+
+
+def tokens_expr(col: str | Column = "text") -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_expr(col: str | Column = "text") -> Column:
+    return F.size(tokens_expr(col))
+
+
+def word_token_count_expr(col: str | Column = "text") -> Column:
+    """BPE-ish token estimate: count of word/number/punct regex matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"([a-z0-9]+|[^\sa-z0-9])"), 1))
+
+
+def stopword_ratio_expr(col: str | Column = "text", lang: str = "en") -> Column:
+    toks = tokens_expr(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(toks, sw))  # distinct-hit approximation
+    matched = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, matched / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(col: str | Column = "text") -> dict[str, Column]:
+    """Deterministic quality-scoring features (webtext curation staples)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens_expr(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": stopword_ratio_expr(c, "en"),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score_expr(col: str | Column = "text") -> Column:
+    """Composite [0,1] quality score: length saturation + stopword signal."""
+    f = quality_features(col)
+    len_part = F.least(f["n_chars"] / F.lit(500.0), F.lit(1.0))
+    return F.round(len_part * 0.5 + f["stopword_ratio"] * 0.5, 6)
+
+
+def lang_id_expr(col: str | Column = "text") -> Column:
+    """Heuristic language ID: CJK chars -> zh; else max stopword hits; 'und'.
+
+    Priority on ties is fixed (en, fr, es, de) so results are deterministic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens_expr(c)
+
+    def hits(lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    h = {lang: hits(lang) for lang in ("en", "fr", "es", "de")}
+    best = F.greatest(*h.values())
+    expr = F.when(F.regexp_count(c, F.lit(_CJK_RE)) > 0, F.lit("zh"))
+    chain = F.when(best <= 0, F.lit("und"))
+    for lang in ("en", "fr", "es", "de"):  # fixed priority order
+        chain = chain.when(h[lang] == best, F.lit(lang))
+    return expr.otherwise(chain)
+
+
+def normalized_text_expr(col: str | Column = "text") -> Column:
+    """Lowercase + collapse whitespace — the canonical dedup key text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def doc_fingerprint(col: str | Column = "text") -> Column:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    md5 (not xxhash64) so the DuckDB oracle can reproduce it bit-for-bit.
+    Engine-internal hashing (minhash/simhash buckets) uses xxhash64 instead.
+    """
+    return F.md5(normalized_text_expr(col))

@@ -64,41 +64,52 @@ EXTRACTED_SCHEMA = StructType(
 )
 
 
-def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
+def _make_batch_fn(passthrough: tuple[str, ...]):
+    def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    for pdf in batches:
-        out = {
-            "url": pdf["url"],
-            "warc_ts": pdf["warc_ts"],
-            "page_type": [],
-            "extracted_text": [],
-            "spans": [],
-            "n_blocks": [],
-            "success": [],
-            "error": [],
-        }
-        for payload in pdf["html"]:
-            r = extract_document(bytes(payload) if payload is not None else b"")
-            out["page_type"].append(r["page_type"])
-            out["extracted_text"].append(r["extracted_text"])
-            out["spans"].append(
-                [{"start": s, "end": e, "kind": k} for (s, e, k) in r["spans"]]
-            )
-            out["n_blocks"].append(r["n_blocks"])
-            out["success"].append(r["success"])
-            out["error"].append(r["error"])
-        yield pd.DataFrame(out)
+        for pdf in batches:
+            out = {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "page_type": [],
+                "extracted_text": [],
+                "spans": [],
+                "n_blocks": [],
+                "success": [],
+                "error": [],
+            }
+            for payload in pdf["html"]:
+                r = extract_document(bytes(payload) if payload is not None else b"")
+                out["page_type"].append(r["page_type"])
+                out["extracted_text"].append(r["extracted_text"])
+                out["spans"].append(
+                    [{"start": s, "end": e, "kind": k} for (s, e, k) in r["spans"]]
+                )
+                out["n_blocks"].append(r["n_blocks"])
+                out["success"].append(r["success"])
+                out["error"].append(r["error"])
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return _extract_batches
 
 
-def extract_pages(df: "DataFrame") -> "DataFrame":
+def extract_pages(df: "DataFrame", passthrough: tuple[str, ...] = ()) -> "DataFrame":
     """pages(url, warc_ts, html, ...) -> extracted(url, warc_ts, page_type,
-    extracted_text, spans, n_blocks, success, error).
+    extracted_text, spans, n_blocks, success, error[, *passthrough]).
 
-    Column-prunes its own input (only url/warc_ts/html are read, so the
-    parquet scan never materializes ``text``/``lang``) and keeps extra
-    grouping columns out of the Arrow transfer.
+    Column-prunes its own input (only url/warc_ts/html plus requested
+    passthrough columns cross the Arrow boundary, so the parquet scan never
+    materializes unused columns).  ``passthrough`` carries narrow metadata
+    (e.g. partition_id, bytes_in) through the UDF — joining it back
+    afterwards would shuffle the full extracted text, which at corpus scale
+    is the dominant byte volume.
     """
-    return df.select("url", "warc_ts", "html").mapInPandas(
-        _extract_batches, EXTRACTED_SCHEMA
+    schema = StructType(
+        EXTRACTED_SCHEMA.fields
+        + [df.schema[c] for c in passthrough]
     )
+    cols = ["url", "warc_ts", "html", *passthrough]
+    return df.select(*cols).mapInPandas(_make_batch_fn(tuple(passthrough)), schema)

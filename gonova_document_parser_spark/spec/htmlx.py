@@ -105,6 +105,11 @@ _AUTOCLOSE_SIBLING = frozenset({"p", "li", "td", "th", "tr", "option", "dt", "dd
 
 _TAG_NAME_RE = re.compile(r"/?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
 
+# Pathological nesting (tag-soup bombs) flattens beyond this depth: children
+# keep attaching to the node at the cap.  Bounds both recursion and memory;
+# browsers apply a similar cap.  Part of the deterministic spec.
+MAX_DOM_DEPTH = 256
+
 
 class Node:
     """Minimal DOM node. ``tag`` is ``#text`` for text nodes."""
@@ -194,7 +199,7 @@ def parse(src: str) -> Node:
             order += 1
             node = Node(tag, order)
             stack[-1].children.append(node)
-            if tag not in VOID_TAGS:
+            if tag not in VOID_TAGS and len(stack) < MAX_DOM_DEPTH:
                 stack.append(node)
         else:  # close
             tag = tok[1]

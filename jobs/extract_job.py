@@ -1,0 +1,43 @@
+"""spark-submit entrypoint: checkpointed corpus extraction.
+
+Usage:
+  spark-submit --py-files gonova.zip jobs/extract_job.py \
+      <pages_parquet_or_table> <output_path> <checkpoint_path> \
+      [run_id] [n_partitions]
+
+Resumable: re-running with the same run_id skips completed partitions
+(see gonova_document_parser_spark.checkpoint for the protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from gonova_document_parser_spark.checkpoint import run_with_checkpoint
+from gonova_document_parser_spark.session import get_spark
+from gonova_document_parser_spark.sources import read_pages
+
+
+def main(argv: list[str]) -> None:
+    source, output, ckpt = argv[0], argv[1], argv[2]
+    run_id = argv[3] if len(argv) > 3 else "run-default"
+    n_partitions = int(argv[4]) if len(argv) > 4 else 64
+    spark = get_spark(app_name="gonova-extract")
+    spark.sparkContext.setLogLevel("WARN")
+    pages = read_pages(spark, source)
+    summary = run_with_checkpoint(
+        spark,
+        pages,
+        output_path=output,
+        checkpoint_path=ckpt,
+        run_id=run_id,
+        n_partitions=n_partitions,
+        input_snapshot=source,
+    )
+    print(json.dumps(summary, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
