@@ -321,19 +321,24 @@ def _items_to_lines(items: list[tuple[float, float, str]]):
     return [ln for ln in out if ln["text"]]
 
 
-def _split_columns(lines: list[dict]) -> list[list[dict]]:
-    """Split lines into columns at the largest x0 gap >= COLUMN_GAP."""
-    if len(lines) < 2:
-        return [lines]
-    xs = sorted({ln["x0"] for ln in lines})
+def _split_columns(items: list[tuple[float, float, str]]):
+    """Split show-text items into columns at the largest x gap >= COLUMN_GAP.
+
+    Runs BEFORE line clustering: a left-column line and a right-column line
+    share the same y, so clustering by y first would weave the columns
+    together.  One split (two columns max) is the pinned spec.
+    """
+    if len(items) < 2:
+        return [items]
+    xs = sorted({x for x, _, _ in items})
     best_gap, split_at = 0.0, None
     for a, b in zip(xs, xs[1:]):
         if b - a > best_gap:
             best_gap, split_at = b - a, (a + b) / 2.0
     if split_at is None or best_gap < COLUMN_GAP:
-        return [lines]
-    left = [ln for ln in lines if ln["x0"] < split_at]
-    right = [ln for ln in lines if ln["x0"] >= split_at]
+        return [items]
+    left = [it for it in items if it[0] < split_at]
+    right = [it for it in items if it[0] >= split_at]
     return [c for c in (left, right) if c]
 
 
@@ -355,10 +360,10 @@ def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
     pages: list[list[tuple[str, str]]] = []
     for stream in _page_content_streams(data):
         items = _items_from_stream(stream)
-        lines = _items_to_lines(items)
         page_blocks: list[tuple[str, str]] = []
-        for column in _split_columns(lines):
-            for block in _lines_to_blocks(column):
+        for column_items in _split_columns(items):
+            lines = _items_to_lines(column_items)
+            for block in _lines_to_blocks(lines):
                 page_blocks.append(("block", block))
         pages.append(page_blocks)
     return pages

@@ -1,0 +1,98 @@
+"""Checkpoint/lineage/resume fixtures (FIXTURES.md §3 resume contract).
+
+A real kill -9 mid-run is exercised by the verify drive (see
+.claude/skills/verify/SKILL.md); here the crash window is simulated by
+erasing half the checkpoint rows + their output dirs, then asserting the
+re-run restores exactly the missing partitions (no dup/missing urls).
+"""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from gonova_document_parser_spark.checkpoint import (
+    completed_partitions,
+    run_with_checkpoint,
+)
+from gonova_document_parser_spark.corpus import generate_pages
+
+N_DOCS = 300
+N_PARTS = 8
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def test_full_run_then_noop(spark, paths):
+    out, ckpt = paths
+    pages = generate_pages(spark, N_DOCS, num_partitions=4)
+    s1 = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="r1", n_partitions=N_PARTS, n_waves=4
+    )
+    assert s1["partitions_done_before"] == 0
+    assert s1["partitions_total"] == N_PARTS
+    assert s1["n_docs"] == N_DOCS
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    assert result.select("url").distinct().count() == N_DOCS
+
+    s2 = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="r1", n_partitions=N_PARTS, n_waves=4
+    )
+    assert s2["partitions_done_before"] == N_PARTS  # no-op rerun
+    assert spark.read.parquet(out).count() == N_DOCS
+
+
+def test_resume_after_simulated_crash(spark, paths, tmp_path):
+    out, ckpt = paths
+    pages = generate_pages(spark, N_DOCS, num_partitions=4)
+    run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="r1", n_partitions=N_PARTS, n_waves=4
+    )
+
+    # simulate a crash that lost partitions >= 4: drop their ckpt rows + data
+    kept = spark.read.parquet(ckpt).where(F.col("partition_id") < 4)
+    ckpt2 = str(tmp_path / "ckpt2")
+    kept.write.parquet(ckpt2)
+    for pid in range(4, N_PARTS):
+        shutil.rmtree(f"{out}/partition_id={pid}")
+
+    s = run_with_checkpoint(
+        spark, pages, out, ckpt2, run_id="r1", n_partitions=N_PARTS, n_waves=4
+    )
+    assert s["partitions_done_before"] == 4
+    assert s["partitions_total"] == N_PARTS
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    assert result.select("url").distinct().count() == N_DOCS
+
+    # lineage: every partition has exactly one completed checkpoint row
+    rows = (
+        spark.read.parquet(ckpt2)
+        .where(F.col("status") == "completed")
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    )
+    assert len(rows) == N_PARTS
+    assert all(r["count"] == 1 for r in rows)
+
+
+def test_partition_id_is_stable_function_of_url(spark):
+    pages = generate_pages(spark, 50, num_partitions=2)
+    from gonova_document_parser_spark.checkpoint import partitioned
+
+    a = {r["url"]: r["partition_id"] for r in partitioned(pages, 16).collect()}
+    b = {
+        r["url"]: r["partition_id"]
+        for r in partitioned(pages.repartition(7), 16).collect()
+    }
+    assert a == b
+
+
+def test_completed_partitions_empty_when_no_table(spark, tmp_path):
+    df = completed_partitions(spark, str(tmp_path / "nope"), "r1", "")
+    assert df.count() == 0

@@ -1,0 +1,46 @@
+"""Driver-contract fixtures: entry() smoke + queries()/oracle_sql() parity.
+
+Runs the same comparison the driver performs (row-count + schema +
+order-insensitive value compare via DuckDB) at sf0.001 so the suite stays
+fast; the driver repeats it at sf0.01.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+from tests.oracle_compare import compare_query, duckdb_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"url", "page_type", "n_blocks", "success", "text_len"}
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    # SQL-expressible coverage stays high: at most a handful rows-only
+    assert len(set(qs) - set(os_)) <= 6
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = E.queries()[name]
+    df = fn(spark, SF_DIR)
+    sql = E.oracle_sql().get(name)
+    if sql is None:
+        assert df.count() >= 0  # rows-only contract
+        return
+    ok, detail = compare_query(df, duck, sql)
+    assert ok, f"{name}: {detail}"

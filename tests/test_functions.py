@@ -1,0 +1,137 @@
+"""Dedup / similarity / textstats operator fixtures on hand-built data."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gonova_document_parser_spark.functions.dedup import (
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from gonova_document_parser_spark.functions.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    lsh_bucket_candidates,
+    pairwise_cosine_neardups,
+)
+from gonova_document_parser_spark.functions.textstats import (
+    lang_id_expr,
+    token_count_expr,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+    (3, "completely different text about spark and shuffles here"),
+    (4, "THE  QUICK   brown fox jumps over the lazy dog"),  # ws/case variant
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["fp"]: r for r in exact_dup_groups(docs).collect()}
+    by_n = sorted(r["n_dups"] for r in groups.values())
+    # 0,1,4 normalize to the same text -> one group of 3
+    assert by_n == [1, 1, 1, 3]
+    trio = next(r for r in groups.values() if r["n_dups"] == 3)
+    assert trio["keeper"] == 0
+
+
+def test_ngram_jaccard_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(docs):
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact <= cands  # identical-signature pairs always collide
+
+
+def test_simhash_identity_and_distance(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[0] == sh[1] == sh[4]  # identical token multisets
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat", "en"),
+            (1, "le chat et la souris des champs", "fr"),
+            (2, "el perro y los gatos de la casa", "es"),
+            (3, "der hund und die katze das haus", "de"),
+            (4, "这是中文文本", "zh"),
+            (5, "zzz qqq xxx", "und"),
+        ],
+        "doc_id long, text string, expected string",
+    )
+    rows = df.select(
+        "expected",
+        lang_id_expr("text").alias("pred"),
+        token_count_expr("text").alias("n"),
+    ).collect()
+    for r in rows:
+        assert r["pred"] == r["expected"], r
+    assert rows[0]["n"] == 6
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.999, 0.04, 0.0]),  # near dup of 0
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(emb):
+    top = brute_force_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    assert top[0]["cosine"] == 1.0
+
+
+def test_pairwise_neardups(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in pairwise_cosine_neardups(emb, 0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_candidates_contain_near_dup_and_ann_finds_top1(emb):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_candidates(emb, dim=3, n_tables=8, n_planes=4).collect()
+    }
+    assert (0, 1) in cands
+    top = ann_topk_lsh(emb, [1.0, 0.0, 0.0], dim=3, k=2, n_tables=8, n_planes=4).collect()
+    assert top[0]["vec_id"] == 0
+
+
+def test_single_shuffle_simhash_plan(docs):
+    """SimHash64's 63 bit-votes run in ONE aggregation (single Exchange)."""
+    plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial+final HashAggregate, one shuffle (+AQE read)

@@ -1,0 +1,62 @@
+"""Property-based fixtures (hypothesis) for the pure-Python spec.
+
+Invariants (SURVEY §5.2): extracted text tokens ⊆ source text tokens;
+spans sorted / non-overlapping / in-bounds; idempotence; never raises.
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from gonova_document_parser_spark.spec import extract_document
+from gonova_document_parser_spark.spec.htmlx import extract_html_blocks
+
+_WORD = st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=8)
+_TAGS = ["div", "p", "span", "li", "ul", "section", "article", "b", "i", "h2"]
+
+
+@st.composite
+def html_doc(draw):
+    def element(depth: int) -> str:
+        if depth > 3 or draw(st.booleans()):
+            return " ".join(draw(st.lists(_WORD, max_size=6)))
+        tag = draw(st.sampled_from(_TAGS))
+        inner = "".join(element(depth + 1) for _ in range(draw(st.integers(0, 3))))
+        return f"<{tag}>{inner}</{tag}>"
+
+    body = "".join(element(0) for _ in range(draw(st.integers(1, 5))))
+    return f"<html><body>{body}</body></html>".encode()
+
+
+@given(html_doc())
+@settings(max_examples=60, deadline=None)
+def test_extracted_words_subset_of_source(doc):
+    blocks = extract_html_blocks(doc)
+    source_words = set(re.findall(r"[a-p]+", doc.decode()))
+    for _, text in blocks:
+        for w in re.findall(r"[a-p]+", text):
+            assert w in source_words
+
+
+@given(html_doc())
+@settings(max_examples=60, deadline=None)
+def test_span_invariants_and_idempotence(doc):
+    r1 = extract_document(doc)
+    r2 = extract_document(doc)
+    assert r1 == r2
+    text = r1["extracted_text"]
+    prev_end = -1
+    for start, end, kind in r1["spans"]:
+        assert 0 <= start <= end <= len(text)
+        assert start >= prev_end
+        prev_end = end
+        assert text[start:end] != "" or start == end
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=80, deadline=None)
+def test_never_raises_on_arbitrary_bytes(data):
+    r = extract_document(data)
+    assert r["page_type"] in ("html", "pdf", "scanned")
+    assert isinstance(r["extracted_text"], str)
+    assert r["success"] in (True, False)

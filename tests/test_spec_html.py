@@ -1,0 +1,109 @@
+"""Unit fixtures for the HTML extraction spec (pure Python, no Spark).
+
+These pin the deterministic spec the way the reference's (absent) fixture
+suite should have pinned its pipeline — SURVEY.md §5.2.
+"""
+
+from gonova_document_parser_spark.spec.htmlx import (
+    MAX_DOM_DEPTH,
+    extract_html_blocks,
+    parse,
+    select_candidate,
+    tokenize,
+)
+
+
+def _text(blocks):
+    return [t for _, t in blocks]
+
+
+def test_boilerplate_stripped():
+    doc = (
+        b"<html><body>"
+        b"<nav><ul><li><a href='/a'>navigation link</a></li></ul></nav>"
+        b"<header><h1>Site Title</h1></header>"
+        b"<div id='main'><p>real content paragraph one</p></div>"
+        b"<footer><p>copyright footer</p></footer>"
+        b"<script>var x = '<p>fake</p>';</script>"
+        b"<style>p { color: red }</style>"
+        b"</body></html>"
+    )
+    texts = " ".join(_text(extract_html_blocks(doc)))
+    assert "real content paragraph one" in texts
+    for boiler in ("navigation link", "copyright footer", "fake", "color: red"):
+        assert boiler not in texts
+
+
+def test_density_scoring_picks_content_over_linkfarm():
+    # sidebar has more raw text but it's all links; content div must win
+    links = "".join(
+        f'<p><a href="/x/{i}">sidebar link row {i} with plenty of words</a></p>'
+        for i in range(20)
+    )
+    doc = (
+        "<html><body>"
+        f"<div id='sidebar'>{links}</div>"
+        "<div id='content'><p>short but dense article text here</p>"
+        "<p>second paragraph of running prose</p></div>"
+        "</body></html>"
+    ).encode()
+    root = parse(doc.decode())
+    cand = select_candidate(root)
+    blocks = extract_html_blocks(doc)
+    texts = " ".join(_text(blocks))
+    assert "dense article text" in texts
+    assert "sidebar link row 0" not in texts
+
+
+def test_block_kinds():
+    doc = (
+        b"<body><article>"
+        b"<h2>A Heading</h2><p>a paragraph</p>"
+        b"<ul><li>item one</li><li>item two</li></ul>"
+        b"<pre>pre formatted</pre>"
+        b"</article></body>"
+    )
+    blocks = extract_html_blocks(doc)
+    kinds = [k for k, _ in blocks]
+    assert kinds == ["heading", "paragraph", "list", "list", "block"]
+
+
+def test_entities_and_whitespace_normalized():
+    doc = b"<body><p>a&amp;b   \n\t c&#65;</p></body>"
+    blocks = extract_html_blocks(doc)
+    assert blocks == [("paragraph", "a&b cA")]
+
+
+def test_comments_doctype_cdata_skipped():
+    doc = b"<!DOCTYPE html><!-- <p>not this</p> --><body><p>yes</p></body>"
+    assert _text(extract_html_blocks(doc)) == ["yes"]
+
+
+def test_unclosed_and_mismatched_tags_recover():
+    doc = b"<body><p>first<p>second</div></span><p>third</body>"
+    texts = _text(extract_html_blocks(doc))
+    assert texts == ["first", "second", "third"]
+
+
+def test_depth_cap_flattens_but_extracts():
+    doc = b"<div>" * (MAX_DOM_DEPTH * 4) + b"<p>needle</p>"
+    blocks = extract_html_blocks(doc)
+    assert any("needle" in t for _, t in blocks)
+
+
+def test_tokenizer_script_raw_text():
+    toks = tokenize("<script>if (a<b) { x='</div>'; }</script><p>t</p>")
+    tags = [t for t in toks if t[0] in ("open", "close")]
+    assert ("open", "p") in tags
+    # nothing inside the script leaked as text
+    assert not any(t[0] == "text" and "a<b" in t[1] for t in toks)
+
+
+def test_inline_runs_become_anonymous_block():
+    doc = b"<body><div>free text <b>bold</b> more text</div></body>"
+    assert extract_html_blocks(doc) == [("block", "free text bold more text")]
+
+
+def test_deterministic():
+    doc = b"<body><div><p>alpha</p><p>beta</p></div></body>"
+    assert extract_html_blocks(doc) == extract_html_blocks(doc)

@@ -1,0 +1,120 @@
+"""Unit fixtures for the PDF text-layer extraction spec (pure Python)."""
+
+import zlib
+
+from gonova_document_parser_spark.spec.pdfx import (
+    extract_pdf_pages,
+    pdf_text_len,
+    _decode_pdf_string,
+)
+
+
+def _pdf(objects: dict[int, bytes]) -> bytes:
+    parts = [b"%PDF-1.4\n"]
+    for num, body in objects.items():
+        parts.append(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def _doc(contents: list[bytes], compress: set[int] = frozenset()) -> bytes:
+    n = len(contents)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % (3 + k) for k in range(n))
+        + b"] /Count %d >>" % n,
+    }
+    for k, data in enumerate(contents):
+        objs[3 + k] = b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % (3 + n + k)
+        if k in compress:
+            comp = zlib.compress(data)
+            objs[3 + n + k] = (
+                b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(comp)
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            objs[3 + n + k] = (
+                b"<< /Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
+            )
+    return _pdf(objs)
+
+
+def test_single_page_lines_and_blocks():
+    content = (
+        b"BT 1 0 0 1 50 760 Tm (line one) Tj ET\n"
+        b"BT 1 0 0 1 50 746 Tm (line two) Tj ET\n"
+        b"BT 1 0 0 1 50 700 Tm (new block) Tj ET\n"  # 46 gap > BLOCK_GAP
+    )
+    pages = extract_pdf_pages(_doc([content]))
+    assert len(pages) == 1
+    assert pages[0] == [("block", "line one\nline two"), ("block", "new block")]
+
+
+def test_page_order_follows_kids_not_object_order():
+    p1 = b"BT 1 0 0 1 50 700 Tm (page one text) Tj ET"
+    p2 = b"BT 1 0 0 1 50 700 Tm (page two text) Tj ET"
+    n = 2
+    # shuffle object order: content of page 2 appears first in the file
+    objs = {
+        6: b"<< /Length %d >>\nstream\n" % len(p2) + p2 + b"\nendstream",
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        5: b"<< /Length %d >>\nstream\n" % len(p1) + p1 + b"\nendstream",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+    }
+    # NOTE: Kids order is [3, 4]; page obj 3 -> contents 6 (p2 bytes)
+    pages = extract_pdf_pages(_pdf(objs))
+    assert [b[0][1] for b in pages] == ["page two text", "page one text"]
+
+
+def test_flate_compressed_stream():
+    content = b"BT 1 0 0 1 50 700 Tm (compressed payload text) Tj ET"
+    pages = extract_pdf_pages(_doc([content], compress={0}))
+    assert pages[0][0][1] == "compressed payload text"
+
+
+def test_two_column_reading_order():
+    content = (
+        b"BT 1 0 0 1 320 760 Tm (right top) Tj ET\n"
+        b"BT 1 0 0 1 50 760 Tm (left top) Tj ET\n"
+        b"BT 1 0 0 1 50 746 Tm (left second) Tj ET\n"
+        b"BT 1 0 0 1 320 746 Tm (right second) Tj ET\n"
+    )
+    pages = extract_pdf_pages(_doc([content]))
+    # left column fully before right column
+    assert pages[0] == [
+        ("block", "left top\nleft second"),
+        ("block", "right top\nright second"),
+    ]
+
+
+def test_td_tstar_and_tj_array():
+    content = (
+        b"BT /F1 12 Tf 14 TL 50 760 Td [(part one ) (and two)] TJ T* (next line) Tj ET"
+    )
+    pages = extract_pdf_pages(_doc([content]))
+    assert pages[0][0][1] == "part one and two\nnext line"
+
+
+def test_string_escapes_and_hex():
+    assert _decode_pdf_string(rb"a\(b\)c \\ \n \101") == "a(b)c \\ \n A"
+    content = b"BT 1 0 0 1 50 700 Tm <48656C6C6F> Tj ET"
+    pages = extract_pdf_pages(_doc([content]))
+    assert pages[0][0][1] == "Hello"
+
+
+def test_text_layer_len_threshold():
+    short = b"BT 1 0 0 1 50 700 Tm (tiny) Tj ET"
+    assert pdf_text_len(_doc([short])) == 4
+
+
+def test_malformed_pdf_falls_back_gracefully():
+    # no catalog/kids: BT-containing streams by object number
+    objs = {
+        7: b"<< /Length 40 >>\nstream\nBT 1 0 0 1 50 700 Tm (fallback) Tj ET\nendstream",
+    }
+    pages = extract_pdf_pages(_pdf(objs))
+    assert pages[0][0][1] == "fallback"
