@@ -20,6 +20,7 @@ def get_spark(
     app_name: str = "gonova-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    configs: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("GONOVA_MASTER", "local[*]")
     builder = (
@@ -38,4 +39,6 @@ def get_spark(
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (configs or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
