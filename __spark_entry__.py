@@ -311,6 +311,80 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, q, dim=len(q), k=10)
 
 
+def _q_graph_nodes(spark, sf_dir):
+    # A2 graph build: merged-with-markers per source -> one row per page node
+    from gonova_document_parser_spark.operators.graph import nodes_expr
+
+    m = _q_merge_page_markers(spark, sf_dir)
+    node = F.explode(nodes_expr("merged")).alias("node")
+    return m.select("source", node).select(
+        "source",
+        F.col("node.id").alias("node_id"),
+        F.col("node.type").alias("node_type"),
+        F.col("node.page").alias("page"),
+        F.col("node.content").alias("content"),
+    )
+
+
+def _q_graph_edges_count(spark, sf_dir):
+    from gonova_document_parser_spark.operators.graph import edges_expr
+
+    m = _q_merge_page_markers(spark, sf_dir)
+    return m.select(
+        "source", F.size(edges_expr("merged")).alias("n_edges")
+    )
+
+
+def _q_signature_flags(spark, sf_dir):
+    from gonova_document_parser_spark.functions.signatures import has_signature_expr
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", has_signature_expr("text").cast("int").alias("has_sig")
+    )
+
+
+def _q_route_explain(spark, sf_dir):
+    # C5 routing explainer over real page payloads (rows-only: analyzer
+    # probes binary structure, not SQL-expressible)
+    from gonova_document_parser_spark.operators.analyze import (
+        analyze_pages,
+        explain_routing,
+    )
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return (
+        explain_routing(analyze_pages(pages))
+        .groupBy("route", "route_reason")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _q_analyzer_stats(spark, sf_dir):
+    from gonova_document_parser_spark.operators.analyze import analyze_pages
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return (
+        analyze_pages(pages)
+        .groupBy("page_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.avg("text_layer_chars"), 2).alias("avg_text_chars"),
+            F.sum(F.col("has_images").cast("long")).alias("n_with_images"),
+        )
+    )
+
+
+def _q_doc_embeddings(spark, sf_dir):
+    # M9 embedding plumbing (stub encoder; rows-only — see functions/embeddings)
+    from gonova_document_parser_spark.functions.embeddings import embed_expr
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", embed_expr("text").alias("embedding")).select(
+        "doc_id", F.size("embedding").alias("dim")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     pages = pages_from_documents(_docs(spark, sf_dir))
     return media_features(pages.where(~F.col("url").isNull()), fake=True).select(
@@ -345,6 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": _q_emb_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "media_features": _q_media_features,
+        "graph_nodes": _q_graph_nodes,
+        "graph_edges_count": _q_graph_edges_count,
+        "signature_flags": _q_signature_flags,
+        "route_explain": _q_route_explain,
+        "analyzer_stats": _q_analyzer_stats,
+        "doc_embeddings": _q_doc_embeddings,
     }
 
 
@@ -514,6 +594,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "salted_counts": "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+        "graph_nodes": """
+            WITH numbered AS (
+                SELECT source, text,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents),
+            merged AS (
+                SELECT source,
+                       STRING_AGG('<!-- Page ' || rn || ' -->' || chr(10) || chr(10) || text,
+                                  chr(10)||chr(10)||'---'||chr(10)||chr(10) ORDER BY rn)
+                         AS merged
+                FROM numbered GROUP BY source),
+            parts AS (
+                SELECT source,
+                       string_split(merged, chr(10)||chr(10)||'---'||chr(10)||chr(10)) AS p
+                FROM merged)
+            SELECT source,
+                   'page_' || (generate_subscripts(p, 1) - 1) AS node_id,
+                   'page' AS node_type,
+                   generate_subscripts(p, 1)::INT AS page,
+                   unnest(p) AS content
+            FROM parts
+        """,
+        "graph_edges_count": """
+            WITH numbered AS (
+                SELECT source, text,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents),
+            merged AS (
+                SELECT source,
+                       STRING_AGG('<!-- Page ' || rn || ' -->' || chr(10) || chr(10) || text,
+                                  chr(10)||chr(10)||'---'||chr(10)||chr(10) ORDER BY rn)
+                         AS merged
+                FROM numbered GROUP BY source)
+            SELECT source,
+                   (len(string_split(merged, chr(10)||chr(10)||'---'||chr(10)||chr(10))) - 1)::INT
+                     AS n_edges
+            FROM merged
+        """,
+        "signature_flags": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(lower(text),
+                        'signature|signed|authorized|signatory')
+                        THEN 1 ELSE 0 END AS has_sig
+            FROM documents
+        """,
         "emb_topk_cosine": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

@@ -1,0 +1,132 @@
+"""Fixtures for graph structure (A2), analyzer/router (S4/C3/C5),
+signatures (M5), export switch (A3), and embedding plumbing (M9)."""
+
+import datetime
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from gonova_document_parser_spark.corpus import _rng, build_html, build_pdf, build_scanned
+from gonova_document_parser_spark.operators.analyze import (
+    analyze_document,
+    analyze_pages,
+    explain_routing,
+)
+from gonova_document_parser_spark.operators.extract import extract_pages
+from gonova_document_parser_spark.operators.graph import graph_structure
+from gonova_document_parser_spark.sources.export import export_extracted, render_expr
+from gonova_document_parser_spark.functions.embeddings import EMBED_DIM, embed_expr
+from gonova_document_parser_spark.functions.signatures import (
+    has_signature_expr,
+    signature_lines_expr,
+)
+from gonova_document_parser_spark.spec import PAGE_SEPARATOR
+
+TS = datetime.datetime(2025, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    rows = [
+        ("u-pdf", TS, build_pdf(_rng(2, 42))),  # deterministic multi-page
+        ("u-html", TS, build_html(_rng(3, 42))),
+        ("u-scan", TS, build_scanned(_rng(4, 42))),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    return extract_pages(df).cache()
+
+
+def test_graph_structure_matches_reference_shape(spark, extracted):
+    g = {r["url"]: r for r in graph_structure(extracted).collect()}
+    for url, row in g.items():
+        n = row["n_pages"]
+        assert len(row["nodes"]) == n
+        assert len(row["edges"]) == (n - 1 if n > 1 else 0)
+        for i, node in enumerate(row["nodes"]):
+            assert node["id"] == f"page_{i}"  # hybrid_processor.py:210 format
+            assert node["type"] == "page"
+            assert node["page"] == i + 1
+            assert node["level"] == 0
+            assert node["content"].startswith(f"<!-- Page {i + 1} -->")
+        for i, edge in enumerate(row["edges"]):
+            assert edge["source"] == f"page_{i}"
+            assert edge["target"] == f"page_{i + 1}"
+            assert edge["type"] == "follows"
+    # reconstruction: joining node contents with the separator = original text
+    ext = {r["url"]: r["extracted_text"] for r in extracted.collect()}
+    for url, row in g.items():
+        assert PAGE_SEPARATOR.join(n["content"] for n in row["nodes"]) == ext[url]
+
+
+def test_analyzer_pure_and_spark_agree(spark, extracted):
+    rows = [
+        ("a", TS, build_pdf(_rng(5, 42))),
+        ("b", TS, build_scanned(_rng(6, 42))),
+        ("c", TS, b"<html><form><input type='text'></form><img src='x'>hello</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = {r["url"]: r.asDict() for r in analyze_pages(df).collect()}
+    for url, _, payload in rows:
+        oracle = analyze_document(payload)
+        for k, v in oracle.items():
+            assert got[url][k] == v, (url, k)
+    assert got["c"]["has_forms"] and got["c"]["has_images"]
+
+
+def test_routing_decision_and_reason(spark):
+    rows = [
+        ("forms", TS, b"<html><form><input></form>long text " + b"x" * 100),
+        ("lowtext", TS, build_scanned(_rng(7, 42))),
+        ("standard", TS, build_html(_rng(8, 42))),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    routed = {r["url"]: r for r in explain_routing(analyze_pages(df)).collect()}
+    assert routed["forms"]["route"] == "nanonets"
+    assert "forms" in routed["forms"]["route_reason"]
+    assert routed["lowtext"]["route"] == "deepseek-ocr"
+    assert routed["standard"]["route"] == "deepseek"
+
+
+def test_signature_detection(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "intro\nSigned by the board\nAuthorized Signatory\nend"),
+            (2, "no keywords at all\nplain line"),
+        ],
+        "doc_id long, extracted_text string",
+    )
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        signature_lines_expr().alias("sigs"),
+        has_signature_expr().alias("has_sig"),
+    ).collect()}
+    assert got[1]["has_sig"] is True
+    assert got[1]["sigs"] == ["Signed by the board", "Authorized Signatory"]
+    assert got[2]["has_sig"] is False and got[2]["sigs"] == []
+
+
+def test_export_formats(spark, extracted, tmp_path):
+    for fmt in ("markdown", "json", "html"):
+        export_extracted(extracted, str(tmp_path), fmt)
+        out = spark.read.parquet(f"{tmp_path}/fmt={fmt}")
+        assert out.count() == 3
+    md = dict(spark.read.parquet(f"{tmp_path}/fmt=markdown").collect())
+    ext = {r["url"]: r["extracted_text"] for r in extracted.collect()}
+    assert md == ext  # markdown payload IS the extracted text
+    j = dict(spark.read.parquet(f"{tmp_path}/fmt=json").collect())
+    parsed = json.loads(j["u-pdf"])
+    assert parsed["url"] == "u-pdf" and parsed["nodes"][0]["id"] == "page_0"
+    h = dict(spark.read.parquet(f"{tmp_path}/fmt=html").collect())
+    assert h["u-html"].startswith("<!DOCTYPE html>") and "&lt;" in h["u-html"]
+
+
+def test_embedding_stub_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "")], "id long, text string")
+    rows = {r["id"]: r["emb"] for r in df.select("id", embed_expr("text").alias("emb")).collect()}
+    assert len(rows[1]) == EMBED_DIM
+    norm = sum(v * v for v in rows[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-3  # L2-normalized
+    # deterministic across invocations
+    again = {r["id"]: r["emb"] for r in df.select("id", embed_expr("text").alias("emb")).collect()}
+    assert again == rows
