@@ -14,9 +14,9 @@ inside Arrow batches, so engine output is byte-identical by construction.
 
 from __future__ import annotations
 
-from .classify import classify_page_type
+from .classify import MIN_TEXT_LAYER_CHARS, classify_page_type
 from .htmlx import extract_html_blocks
-from .pdfx import extract_pdf_pages
+from .pdfx import parse_pdf
 
 PAGE_SEPARATOR = "\n\n---\n\n"
 BLOCK_SEPARATOR = "\n\n"
@@ -77,15 +77,23 @@ def extract_document(data: bytes) -> dict:
       spans: [(start, end, kind)] into extracted_text
       n_blocks, success, error
     """
-    page_type = classify_page_type(data if isinstance(data, bytes) else bytes(data))
+    if not isinstance(data, bytes):
+        data = bytes(data)
+    page_type = "scanned"  # default if classification itself fails
     try:
-        if page_type == "html":
-            pages_blocks = [extract_html_blocks(data)]
-        elif page_type == "pdf":
-            pages_blocks = extract_pdf_pages(data)
+        # classify+extract share one parse for PDFs (single-pass rule,
+        # OPTIMIZATIONS.md:5-11): parse_pdf yields blocks AND the
+        # 50-char-rule char count, so the payload is deserialized once.
+        if data.startswith(b"%PDF-"):
+            pages_blocks, text_chars = parse_pdf(data)
+            page_type = "pdf" if text_chars >= MIN_TEXT_LAYER_CHARS else "scanned"
             if not pages_blocks:
                 pages_blocks = [[]]
-        else:  # scanned: no extractor shipped -> deterministic error row
+        else:
+            page_type = classify_page_type(data)
+            if page_type == "html":
+                pages_blocks = [extract_html_blocks(data)]
+        if page_type == "scanned":  # no extractor shipped -> deterministic error row
             msg = error_marker(1, NO_TEXT_LAYER_MSG)
             text, spans, _ = _assemble([[("error", msg)]])
             return {

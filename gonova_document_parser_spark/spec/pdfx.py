@@ -31,6 +31,7 @@ _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
 def _scan_objects(data: bytes) -> dict[int, bytes]:
@@ -217,7 +218,7 @@ def _tokenize_content(stream: bytes):
             yield ("num", float(m.group(0)))
             i = m.end()
             continue
-        m = re.compile(rb"[A-Za-z'\"*]+").match(stream, i)
+        m = _OP_RE.match(stream, i)
         if m is not None:
             yield ("op", m.group(0).decode("latin-1"))
             i = m.end()
@@ -355,18 +356,31 @@ def _lines_to_blocks(lines: list[dict]) -> list[str]:
     return ["\n".join(b) for b in blocks if b]
 
 
-def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
-    """bytes -> per-page [(kind, text)] blocks in reading order."""
+def parse_pdf(data: bytes) -> tuple[list[list[tuple[str, str]]], int]:
+    """Single-pass parse: (per-page [(kind, text)] blocks, text-layer chars).
+
+    The char count is the classifier's 50-char-rule quantity (sum of
+    stripped show-text items), computed from the same item stream the
+    blocks come from — classify+extract share one parse (the reference's
+    single-pass rule, ``OPTIMIZATIONS.md:5-11``).
+    """
     pages: list[list[tuple[str, str]]] = []
+    total_chars = 0
     for stream in _page_content_streams(data):
         items = _items_from_stream(stream)
+        total_chars += sum(len(t.strip()) for _, _, t in items)
         page_blocks: list[tuple[str, str]] = []
         for column_items in _split_columns(items):
             lines = _items_to_lines(column_items)
             for block in _lines_to_blocks(lines):
                 page_blocks.append(("block", block))
         pages.append(page_blocks)
-    return pages
+    return pages, total_chars
+
+
+def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
+    """bytes -> per-page [(kind, text)] blocks in reading order."""
+    return parse_pdf(data)[0]
 
 
 def pdf_text_len(data: bytes) -> int:
