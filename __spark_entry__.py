@@ -311,6 +311,40 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, q, dim=len(q), k=10)
 
 
+def _q_simhash_neardups(spark, sf_dir):
+    from gonova_document_parser_spark.functions.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
+def _q_curation_filter(spark, sf_dir):
+    """Composed curation pipeline: quality gate + lang gate + exact dedup —
+    the per-source count of documents a training pipeline would keep."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "source",
+        quality_score_expr("text").alias("q"),
+        lang_id_expr("text").alias("lp"),
+        F.md5(normalized_text_expr("text")).alias("fp"),
+    )
+    keep_one = scored.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        scored.join(keep_one, scored["doc_id"] == keep_one["keeper"])
+        .where((F.col("q") >= 0.3) & (F.col("lp") == "en"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def _q_token_histogram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bucket = (F.floor(token_count_expr("text") / 10) * 10).cast("long")
+    return d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
 def _q_graph_nodes(spark, sf_dir):
     # A2 graph build: merged-with-markers per source -> one row per page node
     from gonova_document_parser_spark.operators.graph import nodes_expr
@@ -425,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_explain": _q_route_explain,
         "analyzer_stats": _q_analyzer_stats,
         "doc_embeddings": _q_doc_embeddings,
+        "simhash_neardups": _q_simhash_neardups,
+        "curation_filter": _q_curation_filter,
+        "token_histogram": _q_token_histogram,
     }
 
 
@@ -594,6 +631,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "salted_counts": "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+        "curation_filter": f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       ROUND(
+                         LEAST(length(text) / 500.0, 1.0) * 0.5 +
+                         CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                              THEN {_LANG_HITS['en']} * 1.0 /
+                                   len(string_split_regex(lower(trim(text)), '\\s+'))
+                              ELSE 0.0 END * 0.5,
+                       6)::DOUBLE AS q,
+                       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                            WHEN GREATEST({_LANG_HITS['en']}, {_LANG_HITS['fr']},
+                                          {_LANG_HITS['es']}, {_LANG_HITS['de']}) <= 0 THEN 'und'
+                            WHEN {_LANG_HITS['en']} = GREATEST({_LANG_HITS['en']}, {_LANG_HITS['fr']},
+                                          {_LANG_HITS['es']}, {_LANG_HITS['de']}) THEN 'en'
+                            WHEN {_LANG_HITS['fr']} = GREATEST({_LANG_HITS['en']}, {_LANG_HITS['fr']},
+                                          {_LANG_HITS['es']}, {_LANG_HITS['de']}) THEN 'fr'
+                            WHEN {_LANG_HITS['es']} = GREATEST({_LANG_HITS['en']}, {_LANG_HITS['fr']},
+                                          {_LANG_HITS['es']}, {_LANG_HITS['de']}) THEN 'es'
+                            ELSE 'de' END AS lp,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents),
+            keep_one AS (SELECT fp, MIN(doc_id) AS keeper FROM scored GROUP BY fp)
+            SELECT source, COUNT(*) AS n_kept
+            FROM scored JOIN keep_one ON doc_id = keeper
+            WHERE q >= 0.3 AND lp = 'en'
+            GROUP BY source
+        """,
+        "token_histogram": """
+            SELECT (FLOOR(len(string_split_regex(lower(trim(text)), '\\s+')) / 10) * 10)::BIGINT
+                     AS bucket,
+                   COUNT(*) AS c
+            FROM documents GROUP BY 1
+        """,
         "graph_nodes": """
             WITH numbered AS (
                 SELECT source, text,

@@ -65,7 +65,10 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # no .cache(): the exploded shingle table is |docs| x |shingles/doc| —
+    # at corpus scale caching it spills; recomputing the narrow
+    # explode+distinct per consumer is cheaper than materializing it
+    sh = shingles(df, id_col, text_col, n)
     if max_docs_per_shingle is not None:
         hot = (
             sh.groupBy("shingle")
@@ -185,3 +188,52 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         packed = bit if packed is None else packed.bitwiseOR(bit)
     return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: with ``bands`` > max_hamming blocks, any pair within
+    distance max_hamming agrees exactly on at least one block — so
+    candidates come from equi-joins on one 16-bit block (cheap, hash-join),
+    then ``bit_count(a ^ b)`` verifies exactly.  All built-ins, no UDF;
+    this is the 100 TB-scale alternative to an O(n²) Hamming scan.
+    """
+    assert bands > max_hamming
+    sig = simhash64(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    blocks = [
+        F.struct(
+            F.lit(b).alias("block_id"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("block"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("bk")
+    ).select(id_col, "simhash", "bk.block_id", "bk.block")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

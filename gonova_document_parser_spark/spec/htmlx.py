@@ -214,7 +214,8 @@ def parse(src: str) -> Node:
 def _measure(node: Node, in_link: bool, out: dict[int, tuple[int, int]]) -> tuple[int, int]:
     """Per-subtree (text_len, link_text_len), excluding boilerplate subtrees."""
     if node.tag == "#text":
-        ln = len(_normalize_text(_htmlmod.unescape(node.text)))
+        t = node.text
+        ln = len(_normalize_text(_htmlmod.unescape(t) if "&" in t else t))
         return (ln, ln if in_link else 0)
     if node.tag in BOILERPLATE_TAGS:
         out[id(node)] = (0, 0)
@@ -288,7 +289,8 @@ def _subtree_text(node: Node) -> str:
 
     def walk(n: Node) -> None:
         if n.tag == "#text":
-            parts.append(_htmlmod.unescape(n.text))
+            t = n.text
+            parts.append(_htmlmod.unescape(t) if "&" in t else t)
             return
         if n.tag in BOILERPLATE_TAGS:
             return
@@ -319,7 +321,8 @@ def emit_blocks(candidate: Node) -> list[tuple[str, str]]:
     def walk(n: Node) -> None:
         for c in n.children:
             if c.tag == "#text":
-                pending.append(_htmlmod.unescape(c.text))
+                t = c.text
+                pending.append(_htmlmod.unescape(t) if "&" in t else t)
             elif c.tag in BOILERPLATE_TAGS:
                 continue
             elif c.tag in BLOCK_EMITTING:

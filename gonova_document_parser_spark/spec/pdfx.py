@@ -96,6 +96,8 @@ def _page_content_streams(data: bytes) -> list[bytes]:
 
 def _decode_pdf_string(raw: bytes) -> str:
     """Decode a literal PDF string body (between parens), latin-1 charset."""
+    if b"\\" not in raw:  # fast path: no escapes (the common case)
+        return raw.decode("latin-1")
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -297,17 +299,31 @@ def _items_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
 
 
 def _items_to_lines(items: list[tuple[float, float, str]]):
-    """Cluster items into lines by y (tolerance), items ordered by x."""
+    """Cluster items into lines by y (tolerance), items ordered by x.
+
+    Bucketed by quantized y so lookup is O(1) per item instead of a linear
+    scan over existing lines (same clustering result: first line within
+    tolerance in insertion order wins, exactly like the linear scan,
+    because candidate buckets are probed in insertion-order of their lines).
+    """
     lines: list[dict] = []
+    buckets: dict[int, list[dict]] = {}
+    q = LINE_Y_TOLERANCE
     for x, y, text in items:
         target = None
-        for ln in lines:
-            if abs(ln["y"] - y) <= LINE_Y_TOLERANCE:
-                target = ln
-                break
+        base = int(y // q)
+        best_order = None
+        for b in (base - 1, base, base + 1, base + 2):
+            for ln in buckets.get(b, ()):
+                if abs(ln["y"] - y) <= q:
+                    order = ln["order"]
+                    if best_order is None or order < best_order:
+                        best_order = order
+                        target = ln
         if target is None:
-            target = {"y": y, "items": []}
+            target = {"y": y, "items": [], "order": len(lines)}
             lines.append(target)
+            buckets.setdefault(int(y // q), []).append(target)
         target["items"].append((x, text))
     out = []
     for ln in lines:

@@ -74,6 +74,24 @@ def test_simhash_identity_and_distance(spark, docs):
     assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
 
 
+def test_simhash_neardup_pairs_banding(spark, docs):
+    from gonova_document_parser_spark.functions.dedup import simhash_neardup_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    # identical token multisets -> hamming 0, found via block join
+    assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0 and pairs[(1, 4)] == 0
+    # unrelated doc never pairs with the dup cluster
+    assert not any(3 in p for p in pairs)
+    # pigeonhole precondition enforced
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        simhash_neardup_pairs(docs, max_hamming=8, bands=4)
+
+
 def test_token_count_and_lang(spark):
     df = spark.createDataFrame(
         [
