@@ -311,6 +311,14 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, q, dim=len(q), k=10)
 
 
+def _q_result_lookup(spark, sf_dir):
+    # K4 result endpoint analog: point lookup is a predicate-pushed scan
+    d = _docs(spark, sf_dir)
+    return d.where(F.col("doc_id").isin([7, 42, 123])).select(
+        "doc_id", "text", "lang"
+    )
+
+
 def _q_simhash_neardups(spark, sf_dir):
     from gonova_document_parser_spark.functions.dedup import simhash_neardup_pairs
 
@@ -459,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_explain": _q_route_explain,
         "analyzer_stats": _q_analyzer_stats,
         "doc_embeddings": _q_doc_embeddings,
+        "result_lookup": _q_result_lookup,
         "simhash_neardups": _q_simhash_neardups,
         "curation_filter": _q_curation_filter,
         "token_histogram": _q_token_histogram,
@@ -631,6 +640,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "salted_counts": "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+        "result_lookup": """
+            SELECT doc_id, text, lang FROM documents WHERE doc_id IN (7, 42, 123)
+        """,
         "curation_filter": f"""
             WITH scored AS (
                 SELECT doc_id, source,

@@ -104,12 +104,21 @@ def route_reason_expr() -> Column:
     )
 
 
+def should_enrich_expr() -> Column:
+    """C4 enrichment decision (router.py:91-112): enrich iff the default
+    route was taken AND (doc is large OR has images)."""
+    return (route_expr() == "deepseek") & (
+        (F.col("n_pages") > F.lit(100)) | F.col("has_images")
+    )
+
+
 def explain_routing(analysis: DataFrame) -> DataFrame:
     """C5: per-doc route decision + stats struct, then AG5 rolls up."""
     return analysis.select(
         "url",
         route_expr().alias("route"),
         route_reason_expr().alias("route_reason"),
+        should_enrich_expr().alias("should_enrich"),
         F.struct("page_type", "n_pages", "text_layer_chars", "has_forms",
                  "has_images", "payload_bytes").alias("stats"),
     )

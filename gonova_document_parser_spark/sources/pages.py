@@ -31,11 +31,19 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
 
 
 def write_pages(df: DataFrame, target: str, mode: str = "overwrite") -> None:
-    """Write a pages corpus (catalog table name or parquet path)."""
+    """Write a pages corpus (catalog table name or parquet path).
+
+    Catalog writes go through the V2 ``writeTo`` API (what an Iceberg
+    catalog implements); the built-in V1 session catalog doesn't support
+    replace-table-as-select, so fall back to ``saveAsTable`` there.
+    """
     if "/" in target:
         df.write.mode(mode).parquet(target)
-    else:
+        return
+    try:
         df.writeTo(target).createOrReplace()
+    except Exception:  # V1 session catalog: no RTAS support
+        df.write.mode(mode).saveAsTable(target)
 
 
 def read_raw_files(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:

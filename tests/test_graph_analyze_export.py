@@ -88,6 +88,35 @@ def test_routing_decision_and_reason(spark):
     assert routed["standard"]["route"] == "deepseek"
 
 
+def test_enrich_decision(spark):
+    # C4 (router.py:91-112): enrich iff deepseek route AND (big OR images)
+    rows = [
+        ("img", TS, b"<html><img src='x'>plenty of running text here" + b" word" * 50),
+        ("plain", TS, b"<html><p>plenty of running text</p>" + b" word" * 50),
+        ("forms", TS, b"<html><form><input></form>" + b" word" * 50),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = {r["url"]: r for r in explain_routing(analyze_pages(df)).collect()}
+    assert got["img"]["route"] == "deepseek" and got["img"]["should_enrich"] is True
+    assert got["plain"]["should_enrich"] is False
+    assert got["forms"]["route"] == "nanonets" and got["forms"]["should_enrich"] is False
+
+
+def test_catalog_table_roundtrip(spark):
+    """Iceberg-style path: write_pages/read_pages through a catalog table
+    name (managed table in the session catalog — same writeTo() code path
+    an Iceberg catalog would take)."""
+    from gonova_document_parser_spark.corpus import generate_pages
+    from gonova_document_parser_spark.sources import read_pages, write_pages
+
+    pages = generate_pages(spark, 50, num_partitions=2)
+    write_pages(pages, "pages_t")
+    back = read_pages(spark, "pages_t")
+    assert back.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert back.count() == 50
+    spark.sql("DROP TABLE pages_t")
+
+
 def test_signature_detection(spark):
     df = spark.createDataFrame(
         [
