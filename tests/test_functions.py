@@ -114,6 +114,17 @@ def test_token_count_and_lang(spark):
     assert rows[0]["n"] == 6
 
 
+def test_word_token_count(spark):
+    from gonova_document_parser_spark.functions.textstats import word_token_count_expr
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world! It's 42.")], "id long, text string"
+    )
+    n = df.select(word_token_count_expr("text").alias("n")).collect()[0]["n"]
+    # hello , world ! it ' s 42 .  -> 9 BPE-ish tokens
+    assert n == 9
+
+
 EMB = [
     (0, [1.0, 0.0, 0.0]),
     (1, [0.999, 0.04, 0.0]),  # near dup of 0

@@ -104,6 +104,24 @@ def test_inline_runs_become_anonymous_block():
     assert extract_html_blocks(doc) == [("block", "free text bold more text")]
 
 
+def test_unicode_nfc_normalization():
+    import unicodedata
+
+    # NFD input (decomposed é) must come out NFC — byte-stable across platforms
+    nfd = unicodedata.normalize("NFD", "café 中文")
+    doc = f"<body><p>{nfd}</p></body>".encode("utf-8")
+    blocks = extract_html_blocks(doc)
+    assert blocks == [("paragraph", "café 中文")]
+    assert unicodedata.is_normalized("NFC", blocks[0][1])
+
+
+def test_invalid_utf8_replaced_deterministically():
+    doc = b"<body><p>ok \xff\xfe bytes</p></body>"
+    a = extract_html_blocks(doc)
+    assert a == extract_html_blocks(doc)
+    assert a[0][1].startswith("ok ")
+
+
 def test_deterministic():
     doc = b"<body><div><p>alpha</p><p>beta</p></div></body>"
     assert extract_html_blocks(doc) == extract_html_blocks(doc)
