@@ -427,6 +427,15 @@ def _q_doc_embeddings(spark, sf_dir):
     )
 
 
+def _q_ivf_topk(spark, sf_dir):
+    # IVF (KMeans cells + n_probe) — engine-seeded clustering, rows-only
+    from gonova_document_parser_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+
+
 def _q_media_features(spark, sf_dir):
     pages = pages_from_documents(_docs(spark, sf_dir))
     return media_features(pages.where(~F.col("url").isNull()), fake=True).select(
@@ -460,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": _q_salted_counts,
         "emb_topk_cosine": _q_emb_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "graph_nodes": _q_graph_nodes,
         "graph_edges_count": _q_graph_edges_count,

@@ -142,6 +142,68 @@ def lsh_bucket_candidates(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: KMeans cells over the embedding column.
+
+    Returns (assigned DataFrame with a ``cell`` column, centroids list).
+    Centroids are computed once (seeded, deterministic k-means) and the
+    assignment is a narrow map — at corpus scale the index build is one
+    MLlib job and the assignment column is written alongside the vectors,
+    so queries only scan their probed cells (partition pruning on ``cell``).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, initMode="k-means||").fit(feat)
+    assigned = model.transform(feat).select(
+        id_col, vec_col, F.col("prediction").alias("cell")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the n_probe cells whose
+    centroids are closest to the query (driver-side math on n_cells
+    centroids — tiny).  The scale path pre-materializes ``ivf_index`` and
+    partition-prunes on ``cell``; this convenience form builds it inline."""
+    assigned, centroids = ivf_index(df, n_cells, seed, id_col, vec_col)
+
+    def dist2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probed = sorted(range(len(centroids)), key=lambda c: dist2(query_vec, centroids[c]))[
+        :n_probe
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
+    return (
+        assigned.where(F.col("cell").isin(probed))
+        .select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -160,6 +160,18 @@ def test_lsh_candidates_contain_near_dup_and_ann_finds_top1(emb):
     assert top[0]["vec_id"] == 0
 
 
+def test_ivf_topk_finds_exact_top1(spark):
+    from gonova_document_parser_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(v) for v in emb.where("vec_id = 0").collect()[0]["embedding"]]
+    top = ivf_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    # deterministic across runs (seeded kmeans)
+    again = ivf_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    assert [r["vec_id"] for r in top] == [r["vec_id"] for r in again]
+
+
 def test_single_shuffle_simhash_plan(docs):
     """SimHash64's 63 bit-votes run in ONE aggregation (single Exchange)."""
     plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
