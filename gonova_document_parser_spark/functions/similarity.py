@@ -11,6 +11,8 @@ identical buckets.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -114,6 +116,53 @@ def lsh_buckets(
     ).select(id_col, "tb.table_id", "tb.bucket")
 
 
+def lsh_buckets_vectorized(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) via a numpy-vectorized pandas UDF.
+
+    The column-expression variant (``lsh_buckets``) builds a plan that
+    grows with tables x planes x dim — beyond ~32x4x64 codegen compile
+    time dominates.  Here the whole Arrow batch is one (B, dim) @ (dim,
+    T*P) matmul followed by bit-packing, so plan size is constant and the
+    per-batch cost is one BLAS call; same deterministic hyperplanes.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t, p, seed)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(embs: "pd.Series") -> "pd.Series":
+        import pandas as pd
+
+        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (B, dim)
+        bits = (mat @ planes) >= 0  # (B, T*P)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        packed = (bits * weights).sum(axis=2)  # (B, T)
+        return pd.Series(list(packed))
+
+    b = df.select(F.col(id_col), buckets(F.col(vec_col)).alias("bks"))
+    return b.select(
+        id_col, F.posexplode("bks").alias("table_id", "bucket")
+    )
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     dim: int,
@@ -214,12 +263,15 @@ def ann_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing a bucket with the query.
 
     The query's buckets are computed driver-side (pure Python on one vector)
     and pushed down as an IN filter — the scan prunes to candidate buckets
-    before any cosine is evaluated.
+    before any cosine is evaluated.  ``vectorized=True`` computes corpus
+    buckets with the numpy pandas UDF (constant plan size — use for large
+    n_tables x n_planes x dim).
     """
     def dot(a: list[float], b: list[float]) -> float:
         return sum(x * y for x, y in zip(a, b))
@@ -232,7 +284,8 @@ def ann_topk_lsh(
                 bucket |= 1 << p
         wanted.add((t, bucket))
 
-    b = lsh_buckets(df, dim, n_tables, n_planes, seed, id_col, vec_col)
+    bucket_fn = lsh_buckets_vectorized if vectorized else lsh_buckets
+    b = bucket_fn(df, dim, n_tables, n_planes, seed, id_col, vec_col)
     cond = None
     for t, bk in sorted(wanted):
         c = (F.col("table_id") == t) & (F.col("bucket") == bk)

@@ -160,6 +160,20 @@ def test_lsh_candidates_contain_near_dup_and_ann_finds_top1(emb):
     assert top[0]["vec_id"] == 0
 
 
+def test_lsh_vectorized_buckets_match_expression_path(spark, emb):
+    from gonova_document_parser_spark.functions.similarity import (
+        lsh_buckets,
+        lsh_buckets_vectorized,
+    )
+
+    a = {(r["vec_id"], r["table_id"]): r["bucket"] for r in lsh_buckets(emb, 3, 4, 6).collect()}
+    b = {
+        (r["vec_id"], r["table_id"]): r["bucket"]
+        for r in lsh_buckets_vectorized(emb, 3, 4, 6).collect()
+    }
+    assert a == b and len(a) == 20
+
+
 def test_ivf_topk_finds_exact_top1(spark):
     from gonova_document_parser_spark.functions.similarity import ivf_topk
 
