@@ -53,6 +53,23 @@ def test_span_invariants_and_idempotence(doc):
         assert text[start:end] != "" or start == end
 
 
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_generated_pdfs_always_parse(seed_idx):
+    """Every corpus-generated PDF yields non-empty ordered blocks and an
+    extraction that round-trips through the page-merge format."""
+    from gonova_document_parser_spark.corpus import _rng, build_pdf
+    from gonova_document_parser_spark.spec.pdfx import parse_pdf
+
+    data = build_pdf(_rng(seed_idx, 42))
+    pages, chars = parse_pdf(data)
+    assert pages and chars > 0
+    assert all(blocks for blocks in pages)  # every page has content
+    r = extract_document(data)
+    assert r["success"] and r["page_type"] == "pdf"
+    assert r["extracted_text"].startswith("<!-- Page 1 -->\n\n")
+
+
 @given(st.binary(max_size=4096))
 @settings(max_examples=80, deadline=None)
 def test_never_raises_on_arbitrary_bytes(data):
