@@ -1,0 +1,123 @@
+"""WARC source: Common-Crawl's native archive format -> pages rows.
+
+A WARC file is a sequence of records: a ``WARC/1.0`` header block
+(CRLF-terminated header lines), CRLF CRLF, then ``Content-Length`` bytes of
+payload, then CRLF CRLF.  For ``response`` records the payload is an HTTP
+response (status line + headers + body); the page bytes are the HTTP body.
+
+Parsing is a pure function (`iter_warc_records`) run inside an
+Arrow-batched UDF over ``binaryFile`` rows — one WARC file per row, split
+into page rows executor-side, so a directory of .warc files fans out
+across the cluster with no driver involvement.  (Gzip member-per-record
+.warc.gz is handled when the whole file is gzip-concatenated, the common
+Common-Crawl layout.)
+
+This source exists so a crawl archive can feed ``extract_pages`` without
+a separate conversion job; schema matches FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from datetime import datetime
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import PAGES_DDL
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+_CRLF = b"\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[bytes, bytes]:
+    headers: dict[bytes, bytes] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield {'url', 'warc_ts', 'body'} for each response record."""
+    if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member) archive
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start == -1:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end == -1:
+            break
+        headers = _parse_headers(data[start:head_end])
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            length = 0
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        pos = body_start + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        try:
+            ts = datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).replace(
+                tzinfo=None
+            )
+        except ValueError:
+            ts = None
+        # strip the HTTP response envelope if present
+        body = payload
+        if payload[:5] == b"HTTP/":
+            sep = payload.find(_CRLF + _CRLF)
+            if sep != -1:
+                body = payload[sep + 4 :]
+        yield {"url": url, "warc_ts": ts, "body": body}
+
+
+def write_warc(records: list[dict]) -> bytes:
+    """Serialize {'url','warc_ts','body'} dicts to WARC bytes (tests/demos)."""
+    out = bytearray()
+    for r in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + r["body"]
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + r["url"].encode() + _CRLF
+            + b"WARC-Date: " + ts.encode() + _CRLF
+            + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        )
+        out += head + _CRLF + http + _CRLF + _CRLF
+    return bytes(out)
+
+
+def read_warc(spark: SparkSession, path: str, pattern: str = "*.warc*") -> DataFrame:
+    """Directory of WARC files -> pages(url, warc_ts, html, text, lang)."""
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+    )
+
+    def split_records(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in iter_warc_records(bytes(content)):
+                    rows.append(
+                        (rec["url"], rec["warc_ts"], rec["body"], "", "und")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.select("content").mapInPandas(split_records, PAGES_DDL)
