@@ -128,6 +128,36 @@ def _normalize_text(s: str) -> str:
     return " ".join(unicodedata.normalize("NFC", s).split())
 
 
+def _tag_end(src: str, lt: int, n: int) -> int:
+    """Index of the tag-closing '>', skipping quoted attribute values.
+
+    Fast path: no quote before the naive '>' (the overwhelmingly common
+    case) — return it directly.  Otherwise scan respecting "..."/'...'
+    so ``<div title="a>b">`` closes at the real tag end instead of
+    leaking ``b">`` into the text stream.
+    """
+    gt = src.find(">", lt)
+    if gt == -1:
+        return -1
+    dq = src.find('"', lt, gt)
+    sq = src.find("'", lt, gt)
+    if dq == -1 and sq == -1:
+        return gt
+    i = lt + 1
+    while i < n:
+        c = src[i]
+        if c == ">":
+            return i
+        if c == '"' or c == "'":
+            j = src.find(c, i + 1)
+            if j == -1:
+                return gt  # unterminated quote: fall back to naive end
+            i = j + 1
+        else:
+            i += 1
+    return -1
+
+
 def tokenize(src: str):
     """Yield ('open', tag) / ('close', tag) / ('text', s) tokens.
 
@@ -152,7 +182,7 @@ def tokenize(src: str):
             end = src.find(">", lt)
             i = n if end == -1 else end + 1
             continue
-        gt = src.find(">", lt)
+        gt = _tag_end(src, lt, n)
         if gt == -1:
             tokens.append(("text", src[lt:]))
             break

@@ -104,6 +104,18 @@ def test_inline_runs_become_anonymous_block():
     assert extract_html_blocks(doc) == [("block", "free text bold more text")]
 
 
+def test_gt_inside_quoted_attribute_does_not_leak():
+    doc = b'<body><div title="a>b" data-x=\'1>2\'><p>clean text</p></div></body>'
+    blocks = extract_html_blocks(doc)
+    assert blocks == [("paragraph", "clean text")]
+
+
+def test_unterminated_quote_falls_back():
+    doc = b'<body><div title="never closed><p>still extracted</p></div></body>'
+    texts = " ".join(t for _, t in extract_html_blocks(doc))
+    assert "still extracted" in texts
+
+
 def test_unicode_nfc_normalization():
     import unicodedata
 
