@@ -374,9 +374,61 @@ def emit_blocks(candidate: Node) -> list[tuple[str, str]]:
     return blocks
 
 
+_META_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9_.:-]+)""", re.I
+)
+
+# codecs we honor from meta declarations (whitelist keeps decoding
+# deterministic; anything else falls back to utf-8-replace)
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "iso-8859-1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "ascii": "ascii",
+    "us-ascii": "ascii",
+    "gbk": "gbk",
+    "gb2312": "gbk",
+    "big5": "big5",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "euc-kr": "euc_kr",
+    "koi8-r": "koi8_r",
+    "iso-8859-2": "iso8859-2",
+    "iso-8859-15": "iso8859-15",
+}
+
+
+def decode_html(data: bytes) -> str:
+    """Deterministic charset handling: BOM > meta charset > utf-8-replace.
+
+    Real crawls are full of declared-legacy-charset pages; decoding them as
+    utf-8 mangles every non-ASCII character.  The sniff is bounded to the
+    first 2 KB (where conformant meta tags live) and only whitelisted
+    codecs are honored, so the decode stays a pure function of the bytes.
+    """
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", errors="replace")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16", errors="replace")
+    m = _META_CHARSET_RE.search(data[:2048])
+    if m:
+        name = _KNOWN_CHARSETS.get(m.group(1).decode("ascii", "replace").lower())
+        if name and name != "utf-8":
+            try:
+                return data.decode(name)
+            except (UnicodeDecodeError, LookupError):
+                pass
+    return data.decode("utf-8", errors="replace")
+
+
 def extract_html_blocks(data: bytes) -> list[tuple[str, str]]:
     """bytes -> [(kind, normalized_text)] for the main-content subtree."""
-    src = data.decode("utf-8", errors="replace")
+    src = decode_html(data)
     root = parse(src)
     candidate = select_candidate(root)
     return emit_blocks(candidate)

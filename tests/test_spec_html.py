@@ -134,6 +134,24 @@ def test_invalid_utf8_replaced_deterministically():
     assert a[0][1].startswith("ok ")
 
 
+def test_charset_detection():
+    latin = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body><p>café crème</p></body></html>"
+    ).encode("latin-1")
+    assert extract_html_blocks(latin) == [("paragraph", "café crème")]
+    bom = "﻿<body><p>bom page</p></body>".encode("utf-8-sig")[0:]
+    assert extract_html_blocks(bom) == [("paragraph", "bom page")]
+    gbk = (
+        '<html><head><meta charset="gbk"></head><body><p>中文页面</p></body></html>'
+    ).encode("gbk")
+    assert extract_html_blocks(gbk) == [("paragraph", "中文页面")]
+    # declared charset that doesn't decode -> utf-8-replace fallback
+    broken = b'<meta charset="gbk"><body><p>ok \xff\xfe</p></body>'
+    blocks = extract_html_blocks(broken)
+    assert blocks and blocks[0][1].startswith("ok")
+
+
 def test_deterministic():
     doc = b"<body><div><p>alpha</p><p>beta</p></div></body>"
     assert extract_html_blocks(doc) == extract_html_blocks(doc)
