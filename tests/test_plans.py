@@ -78,6 +78,52 @@ def test_salted_host_counts_match_plain_groupby(spark):
     assert salted["hot.example.com"] > 400  # the skew actually exists
 
 
+def test_byte_skew_also_spreads(spark):
+    """Hot host carries 20x payloads (realistic: one domain serves huge
+    pages).  url-hash spread must balance partition BYTES, not just rows —
+    per-url hashing makes heavy rows land independently of their host."""
+    import pandas as pd
+
+    from gonova_document_parser_spark.corpus import PAGES_DDL, make_page
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                row = make_page(int(i))
+                if row["url"].startswith("https://hot."):
+                    row["html"] = row["html"] * 20
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    pages = spark.range(1500, numPartitions=2).mapInPandas(gen, PAGES_DDL)
+    spread = spread_by_url(pages, 16)
+    per_part = (
+        spread.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum(F.octet_length("html")).alias("bytes"))
+        .collect()
+    )
+    sizes = [r["bytes"] for r in per_part]
+    assert len(sizes) == 16
+    assert max(sizes) < 2.0 * (sum(sizes) / len(sizes))
+
+
+def test_read_raw_files_source(spark, tmp_path):
+    """S2 directory source: one row per file, pages-shaped, extractable."""
+    from gonova_document_parser_spark.corpus import make_page
+    from gonova_document_parser_spark.operators.extract import extract_pages
+    from gonova_document_parser_spark.sources import read_raw_files
+
+    for i in range(6):
+        (tmp_path / f"doc{i}.html").write_bytes(make_page(i)["html"])
+    (tmp_path / "skipme.txt").write_bytes(b"not matched by glob")
+    df = read_raw_files(spark, str(tmp_path), pattern="*.html")
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 6
+    ext = extract_pages(df)
+    assert ext.where(F.col("success")).count() == 6
+
+
 def test_salt_is_deterministic(spark):
     pages = generate_pages(spark, 200, num_partitions=2)
     a = {r["url"]: r["salt"] for r in with_host_salt(pages, 16).collect()}
