@@ -70,6 +70,60 @@ def _now() -> datetime.datetime:
     return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
 
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    n_partitions: int = 64,
+    n_waves: int = 4,
+) -> dict:
+    """Process only urls not yet present in the output (growing corpus).
+
+    The crawl-append mode SURVEY §2.2 calls "incremental re-runs via
+    checkpoint anti-join": each invocation extracts the delta and commits
+    it under a snapshot-derived run_id, so within one delta the wave-level
+    kill/resume semantics of ``run_with_checkpoint`` still apply.
+
+    Scale note: the anti-join keys on url only (both sides pruned to one
+    column); at 10^12 rows feed Spark's bloom-filter join or maintain a
+    url-digest table instead of scanning full output urls.
+    """
+    try:
+        seen = spark.read.parquet(output_path).select("url")
+    except Exception:  # first run: no output yet
+        seen = spark.createDataFrame([], "url string")
+    new_pages = pages.join(seen, "url", "left_anti")
+
+    # snapshot id from the delta's content: stable across retries of the
+    # same delta, different for a different delta
+    # bit_xor: associative, commutative, overflow-free -> order-independent
+    # content digest of the delta's url set
+    agg = new_pages.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    if agg["n"] == 0:
+        return {"run_id": None, "n_new": 0}
+    snap = f"delta-{agg['n']}-{agg['h'] & 0xFFFFFFFFFFFF:x}"
+    # each delta gets its own partition directory: the wave-level dynamic
+    # partition overwrite then only ever replaces dirs of THIS delta —
+    # prior deltas' data can't be clobbered, and whole-output reads pick
+    # up `delta` as a discovered partition column
+    summary = run_with_checkpoint(
+        spark,
+        new_pages,
+        output_path=f"{output_path}/delta={snap}",
+        checkpoint_path=checkpoint_path,
+        run_id=snap,
+        n_partitions=n_partitions,
+        input_snapshot=snap,
+        n_waves=n_waves,
+    )
+    summary["n_new"] = agg["n"]
+    return summary
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     pages: DataFrame,

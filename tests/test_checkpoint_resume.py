@@ -81,6 +81,27 @@ def test_resume_after_simulated_crash(spark, paths, tmp_path):
     assert all(r["count"] == 1 for r in rows)
 
 
+def test_incremental_processes_only_new_urls(spark, paths):
+    from gonova_document_parser_spark.checkpoint import run_incremental
+
+    out, ckpt = paths
+    first = generate_pages(spark, 200, num_partitions=2)
+    s1 = run_incremental(spark, first, out, ckpt, n_partitions=4, n_waves=2)
+    assert s1["n_new"] == 200
+    assert spark.read.parquet(out).count() == 200
+
+    grown = generate_pages(spark, 300, num_partitions=2)  # 100 appended
+    s2 = run_incremental(spark, grown, out, ckpt, n_partitions=4, n_waves=2)
+    assert s2["n_new"] == 100  # only the delta was extracted
+    result = spark.read.parquet(out)
+    assert result.count() == 300
+    assert result.select("url").distinct().count() == 300
+
+    s3 = run_incremental(spark, grown, out, ckpt, n_partitions=4, n_waves=2)
+    assert s3["n_new"] == 0  # steady state: no-op
+    assert spark.read.parquet(out).count() == 300
+
+
 def test_partition_id_is_stable_function_of_url(spark):
     pages = generate_pages(spark, 50, num_partitions=2)
     from gonova_document_parser_spark.checkpoint import partitioned
