@@ -614,7 +614,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_stats": """
             SELECT lang,
-                   SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS total_tokens,
+                   SUM(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT
+                     AS total_tokens,
                    ROUND(AVG(len(string_split_regex(lower(trim(text)), '\\s+'))), 6)::DOUBLE
                      AS avg_tokens
             FROM documents GROUP BY lang
