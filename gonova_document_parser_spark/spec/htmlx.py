@@ -200,7 +200,8 @@ def tokenize(src: str):
         tokens.append(("open", tag))
         if self_closing and tag not in VOID_TAGS:
             tokens.append(("close", tag))
-        elif tag in ("script", "style") and not self_closing:
+        elif tag in ("script", "style", "textarea") and not self_closing:
+            # raw-text / RCDATA elements: contents never parse as markup
             close = low.find("</" + tag, i)
             if close == -1:
                 i = n

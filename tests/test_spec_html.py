@@ -99,6 +99,14 @@ def test_tokenizer_script_raw_text():
     assert not any(t[0] == "text" and "a<b" in t[1] for t in toks)
 
 
+def test_textarea_rcdata_not_parsed_as_markup():
+    doc = (
+        b"<body><form><textarea><div>not content</div></textarea></form>"
+        b"<p>real</p></body>"
+    )
+    assert _text(extract_html_blocks(doc)) == ["real"]
+
+
 def test_inline_runs_become_anonymous_block():
     doc = b"<body><div>free text <b>bold</b> more text</div></body>"
     assert extract_html_blocks(doc) == [("block", "free text bold more text")]
