@@ -133,6 +133,7 @@ def run_with_checkpoint(
     n_partitions: int = 64,
     input_snapshot: str = "",
     n_waves: int = 4,
+    verify_readback: bool = False,
 ) -> dict:
     """Extract ``pages`` into ``output_path`` with exact resume.
 
@@ -143,6 +144,15 @@ def run_with_checkpoint(
     rest.  Returns {run_id, partitions_done_before, partitions_total,
     n_docs, n_ok, n_err}.  Safe to call repeatedly with the same run_id: a
     fully-completed run is a no-op.
+
+    Metrics ride the write pass via ``df.observe`` (per-partition
+    conditional aggregates, retry-safe, computed by the same job that
+    writes) — the extracted text is NOT re-read to meter it.
+    ``verify_readback=True`` re-reads the written wave and asserts the
+    observed counts match (audit mode; 2x read cost of the dominant byte
+    volume, off by default).  Every wave partition id gets a checkpoint
+    row, including zero-document partitions — otherwise dynamic overwrite
+    writes no directory for them and resume would re-run them forever.
 
     Scale note: each wave re-scans the source filtered by partition_id; on
     an Iceberg corpus, persist the derived partition_id (or bucket by url)
@@ -171,36 +181,83 @@ def run_with_checkpoint(
             .repartition(len(wave_ids), F.col("partition_id"))
         )
         extracted = extract_pages(wave, passthrough=("partition_id", "bytes_in"))
+        # per-partition metrics as observed metrics on the write job itself:
+        # one conditional aggregate triple per wave partition id, evaluated
+        # JVM-side during the write — no second pass over the extracted text.
+        # (Expression count is 3 * wave_size; with very wide waves either
+        # raise n_waves or flip verify_readback on and meter from the data.)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"wave-{run_id}-{w}")
+        exprs = []
+        for pid in wave_ids:
+            p = F.col("partition_id") == int(pid)
+            exprs.append(
+                F.sum(F.when(p & F.col("success"), 1).otherwise(0)).alias(f"ok_{pid}")
+            )
+            exprs.append(
+                F.sum(F.when(p & ~F.col("success"), 1).otherwise(0)).alias(f"err_{pid}")
+            )
+            exprs.append(
+                F.sum(F.when(p, F.col("bytes_in")).otherwise(0)).alias(f"bytes_{pid}")
+            )
         (
-            extracted.write.partitionBy("partition_id")
+            extracted.observe(obs, *exprs)
+            .write.partitionBy("partition_id")
             .mode("overwrite")
             .parquet(output_path)
         )
-        # metrics from the *written* data: what's read back is what's metered
-        meter = (
-            spark.read.parquet(output_path)
-            .where(F.col("partition_id").isin([int(i) for i in wave_ids]))
-            .groupBy("partition_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.col("success").cast("long")).alias("n_ok"),
-                F.sum((~F.col("success")).cast("long")).alias("n_err"),
-                F.sum("bytes_in").alias("bytes_in"),
+        got = obs.get  # blocks until the write action finished
+        finished = _now()
+        ckpt_rows = []  # one row per wave pid, zero-doc partitions included
+        for pid in wave_ids:
+            n_ok = int(got[f"ok_{pid}"] or 0)
+            n_err = int(got[f"err_{pid}"] or 0)
+            ckpt_rows.append(
+                (
+                    run_id,
+                    int(pid),
+                    "completed",
+                    n_ok + n_err,
+                    n_ok,
+                    n_err,
+                    int(got[f"bytes_{pid}"] or 0),
+                    started,
+                    finished,
+                    input_snapshot,
+                )
             )
-        )
-        ckpt_rows = meter.select(
-            F.lit(run_id).alias("run_id"),
-            F.col("partition_id"),
-            F.lit("completed").alias("status"),
-            "n_docs",
-            "n_ok",
-            "n_err",
-            "bytes_in",
-            F.lit(started).alias("started_at"),
-            F.lit(_now()).alias("finished_at"),
-            F.lit(input_snapshot).alias("input_snapshot"),
-        )
-        ckpt_rows.write.mode("append").parquet(checkpoint_path)
+        if verify_readback:
+            meter = {
+                r["partition_id"]: r
+                for r in spark.read.parquet(output_path)
+                .where(F.col("partition_id").isin([int(i) for i in wave_ids]))
+                .groupBy("partition_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.col("success").cast("long")).alias("n_ok"),
+                    F.sum((~F.col("success")).cast("long")).alias("n_err"),
+                    F.sum("bytes_in").alias("bytes_in"),
+                )
+                .collect()
+            }
+            for row in ckpt_rows:
+                pid, n_docs, n_ok, n_err, n_bytes = row[1], row[3], row[4], row[5], row[6]
+                read = meter.get(pid)
+                got_back = (
+                    (read["n_docs"], read["n_ok"], read["n_err"], read["bytes_in"])
+                    if read is not None
+                    else (0, 0, 0, 0)
+                )
+                if got_back != (n_docs, n_ok, n_err, n_bytes):
+                    raise RuntimeError(
+                        f"checkpoint meter mismatch for partition {pid}: "
+                        f"observed {(n_docs, n_ok, n_err, n_bytes)} vs "
+                        f"read-back {got_back}"
+                    )
+        spark.createDataFrame(ckpt_rows, CHECKPOINT_SCHEMA).write.mode(
+            "append"
+        ).parquet(checkpoint_path)
 
     stats = (
         spark.read.schema(CHECKPOINT_SCHEMA)

@@ -59,11 +59,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word n-gram shingles.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``max_docs_per_shingle`` (default 1000) drops shingles shared by more
+    than that many docs before the self-join: a shingle in d docs produces
+    d^2/2 join rows, so one hot stopword-run shingle is the classic
+    scale-killer.  Docs whose overlap is *only* hot shingles can be missed —
+    exact Jaccard above the cap must go through the MinHash-LSH path
+    (``minhash_lsh_candidates``), which has no such blowup.  Pass ``None``
+    to disable (small-scale oracle verification only).
     """
     # no .cache(): the exploded shingle table is |docs| x |shingles/doc| —
     # at corpus scale caching it spills; recomputing the narrow

@@ -221,6 +221,65 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_materialize(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF index ONCE and persist it for many queries.
+
+    Writes ``path/vectors`` partitioned by ``cell`` (so a probe scan
+    partition-prunes to its probed cells' directories) and
+    ``path/centroids`` (n_cells tiny rows).  At corpus scale this is the
+    one MLlib job per index lifetime; every query afterwards is a pruned
+    scan + top-k, no KMeans in the query plan."""
+    assigned, centroids = ivf_index(df, n_cells, seed, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a materialized IVF index (``ivf_materialize``).
+
+    Centroid ranking happens driver-side on n_cells rows (tiny); the scan
+    reads ONLY the n_probe closest cells via partition pruning on ``cell``.
+    The returned plan contains no KMeans fit — index build cost is paid
+    once, not per query."""
+    cents = {
+        r["cell"]: r["centroid"]
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+
+    def dist2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probed = sorted(cents, key=lambda c: dist2(query_vec, cents[c]))[:n_probe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
+    return (
+        spark.read.parquet(path + "/vectors")
+        .where(F.col("cell").isin(probed))
+        .select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -233,8 +292,9 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the n_probe cells whose
     centroids are closest to the query (driver-side math on n_cells
-    centroids — tiny).  The scale path pre-materializes ``ivf_index`` and
-    partition-prunes on ``cell``; this convenience form builds it inline."""
+    centroids — tiny).  This convenience form builds the index inline —
+    small-scale/one-shot use only; repeated queries must use
+    ``ivf_materialize`` + ``ivf_probe`` so the KMeans job runs once."""
     assigned, centroids = ivf_index(df, n_cells, seed, id_col, vec_col)
 
     def dist2(a, b):

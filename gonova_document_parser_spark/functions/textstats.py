@@ -43,7 +43,6 @@ def word_token_count_expr(col: str | Column = "text") -> Column:
 def stopword_ratio_expr(col: str | Column = "text", lang: str = "en") -> Column:
     toks = tokens_expr(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.array_intersect(toks, sw))  # distinct-hit approximation
     matched = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, matched / F.size(toks)).otherwise(F.lit(0.0))
 

@@ -64,7 +64,7 @@ EXTRACTED_SCHEMA = StructType(
 )
 
 
-def _make_batch_fn(passthrough: tuple[str, ...]):
+def _make_batch_fn(passthrough: tuple[str, ...], scanned_extractor=None):
     def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -80,7 +80,10 @@ def _make_batch_fn(passthrough: tuple[str, ...]):
                 "error": [],
             }
             for payload in pdf["html"]:
-                r = extract_document(bytes(payload) if payload is not None else b"")
+                r = extract_document(
+                    bytes(payload) if payload is not None else b"",
+                    scanned_extractor=scanned_extractor,
+                )
                 out["page_type"].append(r["page_type"])
                 out["extracted_text"].append(r["extracted_text"])
                 out["spans"].append(
@@ -96,9 +99,17 @@ def _make_batch_fn(passthrough: tuple[str, ...]):
     return _extract_batches
 
 
-def extract_pages(df: "DataFrame", passthrough: tuple[str, ...] = ()) -> "DataFrame":
+def extract_pages(
+    df: "DataFrame",
+    passthrough: tuple[str, ...] = (),
+    scanned_extractor=None,
+) -> "DataFrame":
     """pages(url, warc_ts, html, ...) -> extracted(url, warc_ts, page_type,
     extracted_text, spans, n_blocks, success, error[, *passthrough]).
+
+    ``scanned_extractor`` is the OCR seam (spec.api.extract_document): a
+    picklable ``bytes -> [[(kind, text)]]`` callable shipped to executors;
+    ``None`` keeps the deterministic error-row bytes for scanned pages.
 
     Column-prunes its own input (only url/warc_ts/html plus requested
     passthrough columns cross the Arrow boundary, so the parquet scan never
@@ -112,4 +123,6 @@ def extract_pages(df: "DataFrame", passthrough: tuple[str, ...] = ()) -> "DataFr
         + [df.schema[c] for c in passthrough]
     )
     cols = ["url", "warc_ts", "html", *passthrough]
-    return df.select(*cols).mapInPandas(_make_batch_fn(tuple(passthrough)), schema)
+    return df.select(*cols).mapInPandas(
+        _make_batch_fn(tuple(passthrough), scanned_extractor), schema
+    )

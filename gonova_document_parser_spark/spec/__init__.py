@@ -26,11 +26,15 @@ from .api import (
     PAGE_SEPARATOR,
     extract_document,
     error_marker,
+    fake_scanned_extract,
     merge_pages,
     page_marker,
+    strict_scanned_extract,
 )
 
 __all__ = [
+    "fake_scanned_extract",
+    "strict_scanned_extract",
     "classify_page_type",
     "pdf_text_layer_len",
     "extract_html_blocks",

@@ -24,6 +24,32 @@ BLOCK_SEPARATOR = "\n\n"
 NO_TEXT_LAYER_MSG = "no extractable text layer"
 
 
+def fake_scanned_extract(data: bytes) -> list[list[tuple[str, str]]]:
+    """STUB OCR — deterministic stand-in for a real scanned-page extractor.
+
+    The reference's scanned path is GPU OCR (``mineru_processor.py:264-331``),
+    which needs model weights not present in this container.  This fake mirrors
+    ``operators/multimodal.decode_media``'s strict/fake pattern: it derives a
+    reproducible pseudo-text from the payload hash so the *plumbing* (routing,
+    merge bytes, span offsets, error policy) is testable end-to-end.  Plug a
+    real OCR callable with the same signature into ``extract_document``'s
+    ``scanned_extractor`` to go live.
+    """
+    import hashlib
+
+    digest = hashlib.sha256(data).hexdigest()
+    words = [f"ocr-{digest[k : k + 8]}" for k in range(0, 32, 8)]
+    return [[("block", " ".join(words))]]
+
+
+def strict_scanned_extract(data: bytes) -> list[list[tuple[str, str]]]:
+    """Strict-mode seam: raises exactly where a real OCR engine plugs in."""
+    raise NotImplementedError(
+        "scanned-page extraction requires an OCR engine; plug one in via "
+        "extract_document(scanned_extractor=...)"
+    )
+
+
 def page_marker(page_num: int) -> str:
     """1-indexed page comment prefix (async_processor.py:288-291)."""
     return f"<!-- Page {page_num} -->"
@@ -68,8 +94,14 @@ def _assemble(pages_blocks: list[list[tuple[str, str]]]):
     return merge_pages(page_texts), spans, n_blocks
 
 
-def extract_document(data: bytes) -> dict:
+def extract_document(data: bytes, scanned_extractor=None) -> dict:
     """Classify and extract one document's raw bytes.
+
+    ``scanned_extractor``: optional ``bytes -> [[(kind, text)]]`` callable for
+    pages with no text layer (the OCR seam — ``fake_scanned_extract`` for
+    tests, a real OCR engine in production).  ``None`` (default) preserves the
+    deterministic error-row bytes; an extractor that raises also degrades to
+    the error row (M3/M4 policy), never a task failure.
 
     Returns a plain dict (Arrow-friendly):
       page_type: 'html' | 'pdf' | 'scanned'
@@ -85,6 +117,9 @@ def extract_document(data: bytes) -> dict:
         # OPTIMIZATIONS.md:5-11): parse_pdf yields blocks AND the
         # 50-char-rule char count, so the payload is deserialized once.
         if data.startswith(b"%PDF-"):
+            # sniffed type first, so a parse failure reports page_type='pdf'
+            # rather than 'scanned' for an identifiably-PDF payload
+            page_type = "pdf"
             pages_blocks, text_chars = parse_pdf(data)
             page_type = "pdf" if text_chars >= MIN_TEXT_LAYER_CHARS else "scanned"
             if not pages_blocks:
@@ -93,7 +128,11 @@ def extract_document(data: bytes) -> dict:
             page_type = classify_page_type(data)
             if page_type == "html":
                 pages_blocks = [extract_html_blocks(data)]
-        if page_type == "scanned":  # no extractor shipped -> deterministic error row
+        if page_type == "scanned" and scanned_extractor is not None:
+            pages_blocks = scanned_extractor(data)
+            if not pages_blocks:
+                pages_blocks = [[]]
+        elif page_type == "scanned":  # no extractor plugged -> deterministic error row
             msg = error_marker(1, NO_TEXT_LAYER_MSG)
             text, spans, _ = _assemble([[("error", msg)]])
             return {

@@ -201,13 +201,27 @@ def tokenize(src: str):
         if self_closing and tag not in VOID_TAGS:
             tokens.append(("close", tag))
         elif tag in ("script", "style", "textarea") and not self_closing:
-            # raw-text / RCDATA elements: contents never parse as markup
-            close = low.find("</" + tag, i)
+            # raw-text / RCDATA elements: contents never parse as markup.
+            # The close-tag search requires a delimiter after the name so
+            # '</scripts>' does not terminate a <script> early.
+            close = i
+            while True:
+                close = low.find("</" + tag, close)
+                if close == -1:
+                    break
+                after = close + 2 + len(tag)
+                if after >= n or src[after] in " \t\n\r\f/>":
+                    break
+                close = after
             if close == -1:
                 i = n
             else:
                 gt2 = src.find(">", close)
                 i = n if gt2 == -1 else gt2 + 1
+            # Emit the close token so the element pops off the parse stack;
+            # otherwise all following siblings attach inside a boilerplate
+            # node and their text is lost.
+            tokens.append(("close", tag))
     return tokens
 
 

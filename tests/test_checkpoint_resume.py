@@ -117,3 +117,40 @@ def test_partition_id_is_stable_function_of_url(spark):
 def test_completed_partitions_empty_when_no_table(spark, tmp_path):
     df = completed_partitions(spark, str(tmp_path / "nope"), "r1", "")
     assert df.count() == 0
+
+
+def test_zero_doc_partitions_get_checkpoint_rows(spark, paths):
+    """ADVICE r1: partitions with no documents must still emit a 'completed'
+    checkpoint row, else resume re-runs them forever and the summary
+    undercounts partitions_total."""
+    out, ckpt = paths
+    # 5 docs into 32 partitions -> most partitions are empty
+    pages = generate_pages(spark, 5, num_partitions=2)
+    s1 = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="rz", n_partitions=32, n_waves=2
+    )
+    assert s1["partitions_total"] == 32
+    assert s1["n_docs"] == 5
+    ck = spark.read.parquet(ckpt)
+    assert ck.where(F.col("status") == "completed").count() == 32
+    assert ck.where(F.col("n_docs") == 0).count() == 32 - ck.where(
+        F.col("n_docs") > 0
+    ).count()
+    # second invocation is a true no-op: every partition already done
+    s2 = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="rz", n_partitions=32, n_waves=2
+    )
+    assert s2["partitions_done_before"] == 32
+
+
+def test_verify_readback_mode(spark, paths):
+    """Audit mode re-reads the written wave and must agree with the observed
+    metrics (raises on mismatch)."""
+    out, ckpt = paths
+    pages = generate_pages(spark, 60, num_partitions=2)
+    s = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="rv", n_partitions=4, n_waves=2,
+        verify_readback=True,
+    )
+    assert s["n_docs"] == 60
+    assert s["n_ok"] + s["n_err"] == 60

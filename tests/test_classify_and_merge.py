@@ -72,3 +72,45 @@ def test_spans_index_into_extracted_text():
         prev_end = end
         assert kind in ("heading", "paragraph", "list", "block", "error")
     assert r["n_blocks"] == len(r["spans"])
+
+
+def test_scanned_extractor_seam():
+    """OCR plug-point (VERDICT r1 #6): fake mode extracts, strict raises ->
+    error row, default mode keeps the exact legacy error bytes."""
+    from gonova_document_parser_spark.spec import (
+        fake_scanned_extract,
+        strict_scanned_extract,
+    )
+
+    scanned = b"\x00\x01opaque scanned payload"
+    # default: deterministic error row, bytes unchanged
+    r0 = extract_document(scanned)
+    assert r0["success"] is False
+    assert r0["error"] == "[Error processing page 1: no extractable text layer]"
+    # fake OCR: flows through the normal assemble path with markers + spans
+    r1 = extract_document(scanned, scanned_extractor=fake_scanned_extract)
+    assert r1["success"] is True
+    assert r1["page_type"] == "scanned"
+    assert r1["extracted_text"].startswith("<!-- Page 1 -->\n\n" + "ocr-")
+    assert r1["n_blocks"] == 1
+    # deterministic: same payload -> same bytes
+    assert extract_document(scanned, scanned_extractor=fake_scanned_extract) == r1
+    # strict: NotImplementedError degrades to an error row, not a crash
+    r2 = extract_document(scanned, scanned_extractor=strict_scanned_extract)
+    assert r2["success"] is False
+    assert "scanned-page extraction requires an OCR engine" in r2["error"]
+
+
+def test_malformed_pdf_reports_pdf_page_type(monkeypatch):
+    """ADVICE r1: a '%PDF-' payload whose parse raises must report
+    page_type='pdf', not 'scanned' (the sniffed type survives the error)."""
+    from gonova_document_parser_spark.spec import api as spec_api
+
+    def boom(data):
+        raise ValueError("corrupt xref")
+
+    monkeypatch.setattr(spec_api, "parse_pdf", boom)
+    r = spec_api.extract_document(b"%PDF-1.7\n" + b"\xff" * 40)
+    assert r["success"] is False
+    assert r["page_type"] == "pdf"
+    assert r["error"] == "[Error processing page 1: corrupt xref]"

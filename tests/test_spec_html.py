@@ -99,6 +99,39 @@ def test_tokenizer_script_raw_text():
     assert not any(t[0] == "text" and "a<b" in t[1] for t in toks)
 
 
+def test_script_sibling_content_survives():
+    # Regression: raw-text elements must emit a close token, else the
+    # element stays on the open stack and following siblings attach inside
+    # a boilerplate node (losing their text).
+    doc = (
+        b"<body><div><script>var x = 1;</script>"
+        b"<p>sibling paragraph after an inline body script must survive</p>"
+        b"</div></body>"
+    )
+    texts = " ".join(_text(extract_html_blocks(doc)))
+    assert "sibling paragraph after an inline body script" in texts
+    doc2 = (
+        b"<body><style>a { color: blue }</style>"
+        b"<p>content after a body style element also survives</p></body>"
+    )
+    texts2 = " ".join(_text(extract_html_blocks(doc2)))
+    assert "content after a body style element" in texts2
+
+
+def test_script_close_requires_delimiter():
+    # '</scripts>' must NOT terminate a <script>; only '</script' followed
+    # by whitespace, '/', or '>' does.
+    toks = tokenize("<script>a '</scripts>' b</script ><p>t</p>")
+    assert ("open", "p") in [t for t in toks if t[0] == "open"]
+    assert not any(t[0] == "text" and "b" in t[1] and "'" in t[1] for t in toks)
+    doc = (
+        b"<body><script>var s = '</styled>';</script>"
+        b"<p>delimiter guard keeps this visible</p></body>"
+    )
+    texts = " ".join(_text(extract_html_blocks(doc)))
+    assert "delimiter guard keeps this visible" in texts
+
+
 def test_textarea_rcdata_not_parsed_as_markup():
     doc = (
         b"<body><form><textarea><div>not content</div></textarea></form>"
