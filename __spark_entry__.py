@@ -258,8 +258,21 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
+def _q_minhash_lsh_verified(spark, sf_dir):
+    # LSH candidates -> exact-Jaccard verify: the scale-path dedup pipeline.
+    # Oracle invariant: on this corpus LSH recall at 0.5 is 1, so the output
+    # equals the exact n-gram Jaccard method (checked in DuckDB).
+    from gonova_document_parser_spark.functions.dedup import minhash_lsh_verified
+
+    return minhash_lsh_verified(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_docs_per_shingle=1000
+    )
+
+
 def _q_simhash(spark, sf_dir):
-    return simhash64(_docs(spark, sf_dir))
+    # md5-hash variant: bit-for-bit reproducible in DuckDB (hard oracle row);
+    # production xxhash64 variant is pytest-pinned in tests/test_functions.py
+    return simhash64(_docs(spark, sf_dir), hash_fn="md5")
 
 
 def _q_token_count_stats(spark, sf_dir):
@@ -329,7 +342,10 @@ def _q_result_lookup(spark, sf_dir):
 def _q_simhash_neardups(spark, sf_dir):
     from gonova_document_parser_spark.functions.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+    # md5 variant -> DuckDB reproduces the full band/verify pipeline
+    return simhash_neardup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, bands=4, hash_fn="md5"
+    )
 
 
 def _q_curation_filter(spark, sf_dir):
@@ -425,12 +441,29 @@ def _q_analyzer_stats(spark, sf_dir):
 
 
 def _q_doc_embeddings(spark, sf_dir):
-    # M9 embedding plumbing (stub encoder; rows-only — see functions/embeddings)
-    from gonova_document_parser_spark.functions.embeddings import embed_expr
+    # M9 embedding plumbing with the cross-engine-verifiable stub encoder:
+    # component j = sha256(text) byte j / 255, so DuckDB reproduces the
+    # vector exactly.  byte_sum recovers each float32 component back to its
+    # integer byte (round(x*255)) before summing — integer-exact, no float
+    # rounding hazard across engines.
+    from gonova_document_parser_spark.functions.embeddings import (
+        embed_expr,
+        oracle_encode,
+    )
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", embed_expr("text").alias("embedding")).select(
-        "doc_id", F.size("embedding").alias("dim")
+    emb = d.select(
+        "doc_id", embed_expr("text", encoder=oracle_encode).alias("embedding")
+    )
+    byte_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.round(x * 255, 0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        byte_sum.alias("byte_sum"),
     )
 
 
@@ -463,9 +496,23 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    pages = pages_from_documents(_docs(spark, sf_dir))
-    return media_features(pages.where(~F.col("url").isNull()), fake=True).select(
-        "url", "media_type", "width", "height", "n_bytes"
+    # opaque-binary ingestion over text-blob payloads: every output column is
+    # an exact function of sha256(payload), which DuckDB reproduces —
+    # feat0_byte round-trips the float32 feature vector back to its integer
+    # byte so the features array is oracle-checked without float hazards.
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return media_features(d, payload_col="payload", fake=True).select(
+        "url",
+        "media_type",
+        "width",
+        "height",
+        "n_bytes",
+        F.round(F.element_at("features", 1) * 255, 0)
+        .cast("int")
+        .alias("feat0_byte"),
     )
 
 
@@ -487,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_lsh_verified": _q_minhash_lsh_verified,
         "simhash": _q_simhash,
         "token_count_stats": _q_token_count_stats,
         "quality_scores": _q_quality_scores,
@@ -772,5 +820,173 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        # -- md5-variant simhash: DuckDB reproduces the 60-bit token hash,
+        #    the per-bit votes, and the sign packing bit-for-bit
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                FROM toks),
+            votes AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, UNNEST(generate_series(0, 59)) AS t(i)
+                GROUP BY doc_id, i)
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN (1::BIGINT << i)
+                            ELSE 0::BIGINT END)::BIGINT AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        # -- near-dup pairs: oracle verifies via the exact O(n^2) Hamming scan
+        #    (fine at sf0.01); the engine's banded join must find the same set
+        "simhash_neardups": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                FROM toks),
+            votes AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, UNNEST(generate_series(0, 59)) AS t(i)
+                GROUP BY doc_id, i),
+            sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN (1::BIGINT << i)
+                                ELSE 0::BIGINT END)::BIGINT AS simhash
+                FROM votes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # -- LSH+verify pipeline invariant: on this corpus LSH recall at 0.5
+        #    is 1, so the verified output equals the exact Jaccard method
+        "minhash_lsh_verified": f"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh0 AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+            hot AS (
+                SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000),
+            sh AS (
+                SELECT doc_id, shingle FROM sh0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)::DOUBLE
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        # -- opaque-binary features are sha256-derived; DuckDB recomputes them
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN starts_with(text, '%PDF-') THEN 'pdf_scan'
+                        ELSE 'image' END AS media_type,
+                   1 + ('0x' || substr(sha256(text), 1, 2))::INT AS width,
+                   1 + ('0x' || substr(sha256(text), 3, 2))::INT AS height,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   ('0x' || substr(sha256(text), 1, 2))::INT AS feat0_byte
+            FROM documents
+        """,
+        # -- stub-encoder embeddings: component j = sha256 byte j / 255
+        "doc_embeddings": """
+            WITH b AS (
+                SELECT doc_id,
+                       ('0x' || substr(sha256(text), 2*j - 1, 2))::BIGINT AS v
+                FROM documents, UNNEST(generate_series(1, 32)) AS t(j))
+            SELECT doc_id, 32::INT AS dim, SUM(v)::BIGINT AS byte_sum
+            FROM b GROUP BY doc_id
+        """,
+        # -- the analyzer runs on pages rendered deterministically from
+        #    documents (corpus.doc_to_page), so its outputs are closed-form
+        #    SQL over (doc_id, text): payload length and pdf text-layer
+        #    length are exact arithmetic over the word list
+        "analyzer_stats": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents),
+            m AS (
+                SELECT doc_id, text,
+                       doc_id % 10 AS m10,
+                       array_to_string(ws, ' ') AS joined,
+                       len(ws) AS nw
+                FROM d),
+            pdfc AS (
+                SELECT *,
+                       CASE WHEN nw = 0 THEN len('doc ' || CAST(doc_id AS VARCHAR))
+                            ELSE len(joined) - (CEIL(nw / 6.0)::INT - 1)
+                       END AS pdf_chars
+                FROM m),
+            a AS (
+                SELECT
+                    CASE WHEN m10 <= 6 THEN 'html'
+                         WHEN m10 = 9 THEN 'scanned'
+                         WHEN pdf_chars >= 50 THEN 'pdf'
+                         ELSE 'scanned' END AS page_type,
+                    CASE WHEN m10 <= 6 THEN
+                             672 + 3 * len(CAST(doc_id AS VARCHAR))
+                                 + 6 * GREATEST(1, CEIL(nw / 12.0)::INT)
+                                 + octet_length(encode(joined)) + 1
+                         WHEN m10 = 9 THEN 5 + len(CAST(doc_id AS VARCHAR))
+                         ELSE pdf_chars END AS text_layer_chars,
+                    CASE WHEN m10 <= 6 THEN position('<img' IN lower(text)) > 0
+                         ELSE FALSE END AS has_images
+                FROM pdfc)
+            SELECT page_type, COUNT(*) AS c,
+                   ROUND(AVG(text_layer_chars), 2)::DOUBLE AS avg_text_chars,
+                   SUM(CASE WHEN has_images THEN 1 ELSE 0 END)::BIGINT
+                     AS n_with_images
+            FROM a GROUP BY page_type
+        """,
+        "route_explain": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents),
+            m AS (
+                SELECT doc_id, doc_id % 10 AS m10,
+                       array_to_string(ws, ' ') AS joined, len(ws) AS nw,
+                       position('<form' IN lower(text)) > 0
+                         OR position('<input' IN lower(text)) > 0 AS text_has_form
+                FROM d),
+            r AS (
+                SELECT CASE
+                         WHEN m10 <= 6 AND text_has_form THEN 'nanonets'
+                         WHEN m10 <= 6 THEN 'deepseek'
+                         WHEN m10 = 9 THEN 'deepseek-ocr'
+                         WHEN (CASE WHEN nw = 0
+                                    THEN len('doc ' || CAST(doc_id AS VARCHAR))
+                                    ELSE len(joined) - (CEIL(nw / 6.0)::INT - 1)
+                               END) < 50 THEN 'deepseek-ocr'
+                         ELSE 'deepseek' END AS route
+                FROM m)
+            SELECT route,
+                   CASE route
+                        WHEN 'nanonets' THEN 'forms detected -> form-specialized route'
+                        WHEN 'deepseek-ocr' THEN 'low native text ratio -> OCR route'
+                        ELSE 'standard document -> default route'
+                   END AS route_reason,
+                   COUNT(*) AS c
+            FROM r GROUP BY route, route_reason
         """,
     }

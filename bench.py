@@ -139,6 +139,51 @@ def phase_extract(master: str) -> None:
     spark.stop()
 
 
+def phase_skew(master: str) -> None:
+    """Skew-handling bench (SURVEY §7.5 claim): extraction wall time when the
+    input is partitioned naively BY HOST (the hot host — 50% of the corpus —
+    serializes on one task) vs ``spread_by_url`` (uniform url-hash spread).
+    Same rows, same extraction work; only the partitioning differs.
+    """
+    spark = _spark(master)
+    from pyspark.sql import functions as F
+
+    from gonova_document_parser_spark.operators.extract import extract_pages
+    from gonova_document_parser_spark.plans.partitioning import (
+        host_of,
+        spread_by_url,
+    )
+
+    # unbiased 1/4 sample (keeps the 50% hot-host skew, bounds bench cost)
+    pages = spark.read.parquet(CACHE).where(
+        F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    )
+    n_parts = 2 * int(master.split("[")[1].rstrip("]"))
+
+    def timed(df) -> float:
+        def one():
+            t0 = time.time()
+            extract_pages(df).agg(F.count(F.lit(1))).collect()
+            return time.time() - t0
+
+        one()  # warm-up at full parallelism
+        return sorted(one() for _ in range(3))[1]  # median of 3
+
+    naive = timed(pages.repartition(n_parts, host_of()))
+    spread = timed(spread_by_url(pages, n_parts))
+    print(
+        json.dumps(
+            {
+                "rows": pages.count(),
+                "wall_naive_by_host_sec": round(naive, 3),
+                "wall_spread_by_url_sec": round(spread, 3),
+                "speedup": round(naive / spread, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
 def _run(phase: str, *args: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--phase", phase, *args],
@@ -152,7 +197,7 @@ def _run(phase: str, *args: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["queries", "gen", "extract"])
+    ap.add_argument("--phase", choices=["queries", "gen", "extract", "skew"])
     ap.add_argument("--master", default=f"local[{CPUS}]")
     args = ap.parse_args()
     if args.phase == "queries":
@@ -161,6 +206,8 @@ def main() -> None:
         return phase_gen()
     if args.phase == "extract":
         return phase_extract(args.master)
+    if args.phase == "skew":
+        return phase_skew(args.master)
 
     # orchestrator
     timings = _run("queries")
@@ -168,6 +215,7 @@ def main() -> None:
         _run("gen")
     low = _run("extract", "--master", f"local[{SCALE_LOW}]")
     high = _run("extract", "--master", f"local[{SCALE_HIGH}]")
+    skew = _run("skew", "--master", f"local[{SCALE_HIGH}]")
     ratio = SCALE_HIGH / SCALE_LOW
     eff = (low["wall_sec"] / high["wall_sec"]) / ratio
     result = {
@@ -189,6 +237,7 @@ def main() -> None:
             "parallelism_high": SCALE_HIGH,
             "scaling_efficiency": round(eff, 3),
         },
+        "skew": skew,
     }
     print(json.dumps(result))
 

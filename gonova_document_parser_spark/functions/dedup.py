@@ -173,26 +173,97 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _simhash_bits(hash_fn: str) -> int:
+    # xxhash64: bit 63 left clear keeps the packed value non-negative.
+    # md5: low 60 bits of the hex digest (15 hex chars -> fits BIGINT).
+    return 60 if hash_fn == "md5" else 63
+
+
+def minhash_lsh_verified(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_docs_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """The production near-dup pipeline: LSH candidates -> exact verify.
+
+    Exact Jaccard is computed ONLY for LSH-candidate pairs (equi-joins of
+    the candidate list against per-doc shingle sets), so the cost is
+    |candidates| x shingles/doc — never the all-pairs shingle self-join.
+    Returns (id_a, id_b, jaccard) like ``ngram_jaccard_pairs``; on data
+    where LSH recall at ``threshold`` is 1 (high-similarity dup clusters,
+    the common webtext case) the output is identical to the exact method,
+    which is the cross-engine invariant the driver oracle checks.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = shingles(df, id_col, text_col, n)
+    if max_docs_per_shingle is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_docs_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    s_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per doc, entirely with built-in aggregations.
 
     Token hash bits vote +1/-1 per position; the sign vector packs into one
-    BIGINT.  64 conditional-sum aggregates run in a single groupBy pass
+    BIGINT.  The conditional-sum aggregates run in a single groupBy pass
     (one shuffle, map-side combine) — no Python in the loop.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest JVM hash, the 100 TB
+    path) or ``"md5"`` (low 60 bits of the hex digest — slower, but DuckDB
+    reproduces it bit-for-bit, so the driver oracle can hard-verify the
+    whole vote/pack pipeline instead of a rows-only check).
     """
+    n_bits = _simhash_bits(hash_fn)
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64("tok")
     toks = (
         df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", h)
     )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(63)  # bit 63 left clear: keeps the packed value non-negative
+        for i in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     packed = None
-    for i in range(63):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         packed = bit if packed is None else packed.bitwiseOR(bit)
     return agg.select(F.col(id_col), packed.alias("simhash"))
@@ -204,18 +275,22 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole banding: with ``bands`` > max_hamming blocks, any pair within
     distance max_hamming agrees exactly on at least one block — so
-    candidates come from equi-joins on one 16-bit block (cheap, hash-join),
+    candidates come from equi-joins on one block (cheap, hash-join),
     then ``bit_count(a ^ b)`` verifies exactly.  All built-ins, no UDF;
     this is the 100 TB-scale alternative to an O(n²) Hamming scan.
+    ``hash_fn`` as in ``simhash64`` (md5 variant is DuckDB-verifiable).
     """
     assert bands > max_hamming
-    sig = simhash64(df, id_col, text_col)
-    width = 64 // bands
+    sig = simhash64(df, id_col, text_col, hash_fn)
+    # blocks must tile the populated bit range: 60 bits for md5, 64 (bit 63
+    # always clear) for xxhash64
+    width = (60 if hash_fn == "md5" else 64) // bands
     mask = (1 << width) - 1
     blocks = [
         F.struct(

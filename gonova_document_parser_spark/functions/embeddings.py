@@ -38,13 +38,43 @@ def _fake_encode(text: str, dim: int = EMBED_DIM) -> "list[float]":
     return [v / norm for v in out]
 
 
-@pandas_udf(ArrayType(FloatType()))
-def embed_text(texts: pd.Series) -> pd.Series:
-    """Vectorized (Arrow-batched) embedding column; see module docstring."""
-    return texts.map(lambda t: _fake_encode(t if isinstance(t, str) else ""))
+def oracle_encode(text: str) -> "list[float]":
+    """STUB encoder, cross-engine-verifiable variant: 32-d vector whose
+    component j is byte j of sha256(utf-8 text) / 255.
+
+    NOT a semantic embedding either — but every component is an exact
+    function DuckDB can reproduce (``('0x'||substr(sha256(text),2j-1,2))::INT
+    / 255.0``), so the embedding map gets a hard oracle row instead of a
+    rows-only check.  Replace with a real model call in production, same as
+    ``_fake_encode``.
+    """
+    digest = hashlib.sha256(text.encode()).digest()
+    return [b / 255.0 for b in digest]
 
 
-def embed_expr(col) -> Column:
+def make_embed_udf(encoder=None):
+    """Build the Arrow-batched embedding UDF around an injected encoder.
+
+    ``encoder``: picklable ``str -> list[float]`` shipped to executors — a
+    real model call in production (lazy module-level singleton, exactly like
+    the reference's lazy model property ``hybrid_processor.py:88-98``);
+    defaults to the ``_fake_encode`` stub.
+    """
+    enc = encoder or _fake_encode
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: enc(t if isinstance(t, str) else ""))
+
+    return _embed
+
+
+# default UDF instance (stub encoder) — kept for backward compatibility
+embed_text = make_embed_udf()
+
+
+def embed_expr(col, encoder=None) -> Column:
     from pyspark.sql import functions as F
 
-    return embed_text(F.col(col) if isinstance(col, str) else col)
+    c = F.col(col) if isinstance(col, str) else col
+    return (make_embed_udf(encoder) if encoder is not None else embed_text)(c)

@@ -12,9 +12,17 @@ This replaces the reference's render-page-to-bitmap -> external-OCR path
 with a deterministic text-layer parse, per the build target: same
 per-page -> ordered-merge semantics, no model calls.
 
+Font decoding: per-page ``/Resources -> /Font -> /ToUnicode`` CMaps are
+parsed (``bfchar`` + ``bfrange``, including array-destination ranges and
+``codespacerange`` code widths), so CID/Identity-H text — the dominant
+encoding in real-world PDFs, the reference's actual input
+(``mineru_processor.py:150-176``) — decodes to the correct Unicode instead
+of latin-1 mojibake.  String bytes fall back to latin-1 only when the
+active font has no ToUnicode map.
+
 Limits (documented spec, pinned by fixtures): only literal ``(...)`` and hex
-``<...>`` strings; no CMap/Unicode font decoding (bytes are treated as
-latin-1); no rotation (only the translation part of ``Tm`` is used).
+``<...>`` strings; no rotation (only the translation part of ``Tm`` is
+used); codes absent from a present CMap decode to U+FFFD.
 """
 
 from __future__ import annotations
@@ -52,11 +60,150 @@ def _stream_bytes(body: bytes) -> bytes | None:
     return raw
 
 
-def _page_content_streams(data: bytes) -> list[bytes]:
-    """Content streams in page order (catalog -> pages -> kids -> contents).
+def _balanced_dict(buf: bytes, start: int) -> bytes | None:
+    """Slice of the ``<< ... >>`` dict starting at ``start`` (nesting-aware)."""
+    if buf[start : start + 2] != b"<<":
+        return None
+    depth = 0
+    j = start
+    n = len(buf)
+    while j < n - 1:
+        two = buf[j : j + 2]
+        if two == b"<<":
+            depth += 1
+            j += 2
+        elif two == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return buf[start:j]
+        else:
+            j += 1
+    return None
 
-    Falls back to all BT-containing streams ordered by object number when the
-    object graph doesn't parse (truncated / malformed files).
+
+def _dict_or_ref(objs: dict[int, bytes], body: bytes, key: bytes) -> bytes | None:
+    """Value of /key in body: inline ``<<...>>`` dict or dereferenced object."""
+    m = re.search(re.escape(key) + rb"\s*", body)
+    if m is None:
+        return None
+    at = m.end()
+    if body[at : at + 2] == b"<<":
+        return _balanced_dict(body, at)
+    rm = _REF_RE.match(body, at)
+    if rm is not None:
+        return objs.get(int(rm.group(1)))
+    return None
+
+
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _parse_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """ToUnicode CMap -> (code byte width, code -> unicode string).
+
+    Handles ``begincodespacerange`` (code width), ``beginbfchar`` pairs and
+    ``beginbfrange`` with scalar or array destinations; destination hex is
+    UTF-16BE (surrogate pairs included).
+    """
+    code_len = 0
+    mapping: dict[int, str] = {}
+
+    def hexval(h: bytes) -> bytes:
+        h = re.sub(rb"\s", b"", h)
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii"))
+
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        for hm in _HEX_PAIR_RE.finditer(m.group(1)):
+            code_len = max(code_len, len(hexval(hm.group(1))))
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        hexes = _HEX_PAIR_RE.findall(m.group(1))
+        for src_h, dst_h in zip(hexes[0::2], hexes[1::2]):
+            src = hexval(src_h)
+            code_len = code_len or len(src)
+            try:
+                mapping[int.from_bytes(src, "big")] = hexval(dst_h).decode(
+                    "utf-16-be", "replace"
+                )
+            except ValueError:
+                continue
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        i = 0
+        n = len(body)
+        while i < n:
+            lo_m = _HEX_PAIR_RE.search(body, i)
+            if lo_m is None:
+                break
+            hi_m = _HEX_PAIR_RE.search(body, lo_m.end())
+            if hi_m is None:
+                break
+            lo = int.from_bytes(hexval(lo_m.group(1)), "big")
+            hi = int.from_bytes(hexval(hi_m.group(1)), "big")
+            code_len = code_len or len(hexval(lo_m.group(1)))
+            # destination: scalar <hex> or array [<hex> <hex> ...]
+            j = hi_m.end()
+            while j < n and body[j : j + 1] in b" \t\r\n":
+                j += 1
+            if body[j : j + 1] == b"[":
+                end = body.find(b"]", j)
+                if end == -1:
+                    break
+                dsts = _HEX_PAIR_RE.findall(body[j:end])
+                for off, dst_h in enumerate(dsts):
+                    if lo + off > hi:
+                        break
+                    mapping[lo + off] = hexval(dst_h).decode("utf-16-be", "replace")
+                i = end + 1
+            else:
+                dst_m = _HEX_PAIR_RE.search(body, j)
+                if dst_m is None:
+                    break
+                base = hexval(dst_m.group(1))
+                base_int = int.from_bytes(base, "big") if base else 0
+                width = max(len(base), 2)
+                for off in range(min(hi - lo + 1, 65536)):
+                    try:
+                        mapping[lo + off] = (base_int + off).to_bytes(
+                            width, "big"
+                        ).decode("utf-16-be", "replace")
+                    except (OverflowError, ValueError):
+                        break
+                i = dst_m.end()
+    return (code_len or 1, mapping)
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[str, tuple[int, dict[int, str]]]:
+    """Font name -> parsed ToUnicode CMap for one page (absent fonts omitted:
+    strings shown in them decode latin-1)."""
+    res = _dict_or_ref(objs, page_body, b"/Resources")
+    if res is None:
+        return {}
+    fontd = _dict_or_ref(objs, res, b"/Font")
+    if fontd is None:
+        return {}
+    fonts: dict[str, tuple[int, dict[int, str]]] = {}
+    for m in re.finditer(rb"/([A-Za-z0-9._-]+)\s+(\d+)\s+\d+\s+R", fontd):
+        fbody = objs.get(int(m.group(2)))
+        if fbody is None:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if tm is None:
+            continue
+        cm_stream = _stream_bytes(objs.get(int(tm.group(1)), b""))
+        if cm_stream:
+            fonts[m.group(1).decode("latin-1")] = _parse_cmap(cm_stream)
+    return fonts
+
+
+def _page_streams_with_fonts(data: bytes) -> list[tuple[bytes, dict]]:
+    """(content stream, font CMaps) per page, in page order
+    (catalog -> pages -> kids -> contents).
+
+    Falls back to all BT-containing streams ordered by object number (empty
+    font table) when the object graph doesn't parse (truncated / malformed).
     """
     objs = _scan_objects(data)
     page_order: list[int] = []
@@ -71,7 +218,7 @@ def _page_content_streams(data: bytes) -> list[bytes]:
         if km:
             page_order = [int(m.group(1)) for m in _REF_RE.finditer(km.group(1))]
 
-    streams: list[bytes] = []
+    out: list[tuple[bytes, dict]] = []
     if page_order:
         for pnum in page_order:
             body = objs.get(pnum)
@@ -80,24 +227,33 @@ def _page_content_streams(data: bytes) -> list[bytes]:
             cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
             if cm is None:
                 continue
+            fonts = _page_fonts(objs, body)
             for rm in _REF_RE.finditer(cm.group(1)):
                 s = _stream_bytes(objs.get(int(rm.group(1)), b""))
                 if s is not None:
-                    streams.append(s)
-        if streams:
-            return streams
+                    out.append((s, fonts))
+        if out:
+            return out
     # fallback: any stream containing a text object, by object number
     for num in sorted(objs):
         s = _stream_bytes(objs[num])
         if s is not None and b"BT" in s:
-            streams.append(s)
-    return streams
+            out.append((s, {}))
+    return out
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """Decode a literal PDF string body (between parens), latin-1 charset."""
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Content streams in page order (compat wrapper, fonts dropped)."""
+    return [s for s, _ in _page_streams_with_fonts(data)]
+
+
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    """Unescape a literal PDF string body (between parens) to raw bytes.
+
+    Charset decoding happens later, per the active font (CMap or latin-1).
+    """
     if b"\\" not in raw:  # fast path: no escapes (the common case)
-        return raw.decode("latin-1")
+        return raw
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -129,16 +285,37 @@ def _decode_pdf_string(raw: bytes) -> str:
         else:
             out.append(c)
             i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _decode_string(raw: bytes, cmap: tuple[int, dict[int, str]] | None) -> str:
+    """Raw string bytes -> text: active font's ToUnicode CMap, else latin-1."""
+    if cmap is None:
+        return raw.decode("latin-1")
+    code_len, mapping = cmap
+    out = []
+    for k in range(0, len(raw) - code_len + 1, code_len):
+        code = int.from_bytes(raw[k : k + code_len], "big")
+        out.append(mapping.get(code, "�"))
+    return "".join(out)
+
+
+_NAME_BODY_RE = re.compile(rb"[A-Za-z0-9._#-]*")
 
 
 def _tokenize_content(stream: bytes):
-    """Yield ('str', text) / ('num', float) / ('op', name) / ('arr', list)."""
+    """Yield ('str', raw_bytes) / ('num', float) / ('op', name) /
+    ('name', str) / ('arr', list) tokens."""
     i, n = 0, len(stream)
     while i < n:
         b = stream[i]
         if b in b" \t\r\n\x00":
             i += 1
+            continue
+        if b == 0x2F:  # /Name (font selectors etc.)
+            m = _NAME_BODY_RE.match(stream, i + 1)
+            yield ("name", m.group(0).decode("latin-1"))
+            i = m.end()
             continue
         if b == 0x28:  # (
             depth = 1
@@ -159,7 +336,7 @@ def _tokenize_content(stream: bytes):
                         break
                 buf.append(c)
                 j += 1
-            yield ("str", _decode_pdf_string(bytes(buf)))
+            yield ("str", _unescape_pdf_string(bytes(buf)))
             i = j + 1
             continue
         if b == 0x3C and i + 1 < n and stream[i + 1] != 0x3C:  # <hex>
@@ -170,7 +347,7 @@ def _tokenize_content(stream: bytes):
             if len(hexs) % 2:
                 hexs += b"0"
             try:
-                yield ("str", bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+                yield ("str", bytes.fromhex(hexs.decode("ascii")))
             except ValueError:
                 pass
             i = j + 1
@@ -228,20 +405,32 @@ def _tokenize_content(stream: bytes):
             i += 1
 
 
-def _items_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
-    """Interpret text operators -> [(x, y, text)] show-text items."""
+def _items_from_stream(
+    stream: bytes, fonts: dict[str, tuple[int, dict[int, str]]] | None = None
+) -> list[tuple[float, float, str]]:
+    """Interpret text operators -> [(x, y, text)] show-text items.
+
+    ``fonts``: name -> ToUnicode CMap; ``Tf`` switches the active decoding.
+    Strings shown in fonts without a CMap decode latin-1 (the pre-CMap
+    behavior, still the synthetic-corpus path).
+    """
+    fonts = fonts or {}
+    cmap: tuple[int, dict[int, str]] | None = None
     items: list[tuple[float, float, str]] = []
     x = y = 0.0
     line_x = line_y = 0.0
     leading = 12.0
     stack: list[tuple] = []
     for tok in _tokenize_content(stream):
-        if tok[0] in ("num", "str", "arr"):
+        if tok[0] in ("num", "str", "arr", "name"):
             stack.append(tok)
             continue
         op = tok[1]
         if op == "BT":
             x = y = line_x = line_y = 0.0
+            stack.clear()
+        elif op == "Tf" and len(stack) >= 2 and stack[-2][0] == "name":
+            cmap = fonts.get(stack[-2][1])
             stack.clear()
         elif op == "Td" and len(stack) >= 2:
             tx, ty = stack[-2][1], stack[-1][1]
@@ -268,26 +457,28 @@ def _items_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
             leading = stack[-1][1]
             stack.clear()
         elif op == "Tj" and stack and stack[-1][0] == "str":
-            text = stack[-1][1]
+            text = _decode_string(stack[-1][1], cmap)
             if text:
                 items.append((x, y, text))
             stack.clear()
         elif op == "'" and stack and stack[-1][0] == "str":
             line_y -= leading
             x, y = line_x, line_y
-            text = stack[-1][1]
+            text = _decode_string(stack[-1][1], cmap)
             if text:
                 items.append((x, y, text))
             stack.clear()
         elif op == '"' and stack and stack[-1][0] == "str":
             line_y -= leading
             x, y = line_x, line_y
-            text = stack[-1][1]
+            text = _decode_string(stack[-1][1], cmap)
             if text:
                 items.append((x, y, text))
             stack.clear()
         elif op == "TJ" and stack and stack[-1][0] == "arr":
-            text = "".join(t[1] for t in stack[-1][1] if t[0] == "str")
+            text = "".join(
+                _decode_string(t[1], cmap) for t in stack[-1][1] if t[0] == "str"
+            )
             if text:
                 items.append((x, y, text))
             stack.clear()
@@ -382,8 +573,8 @@ def parse_pdf(data: bytes) -> tuple[list[list[tuple[str, str]]], int]:
     """
     pages: list[list[tuple[str, str]]] = []
     total_chars = 0
-    for stream in _page_content_streams(data):
-        items = _items_from_stream(stream)
+    for stream, fonts in _page_streams_with_fonts(data):
+        items = _items_from_stream(stream, fonts)
         total_chars += sum(len(t.strip()) for _, _, t in items)
         page_blocks: list[tuple[str, str]] = []
         for column_items in _split_columns(items):
@@ -402,7 +593,7 @@ def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
 def pdf_text_len(data: bytes) -> int:
     """Total extractable text-layer characters (classifier's 50-char rule)."""
     total = 0
-    for stream in _page_content_streams(data):
-        for _, _, text in _items_from_stream(stream):
+    for stream, fonts in _page_streams_with_fonts(data):
+        for _, _, text in _items_from_stream(stream, fonts):
             total += len(text.strip())
     return total

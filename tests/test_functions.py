@@ -229,3 +229,58 @@ def test_single_shuffle_simhash_plan(docs):
     """SimHash64's 63 bit-votes run in ONE aggregation (single Exchange)."""
     plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # partial+final HashAggregate, one shuffle (+AQE read)
+
+
+def test_minhash_lsh_verified_equals_exact(docs):
+    """LSH-candidates + exact-verify pipeline returns the same pairs as the
+    exact shingle self-join on near-dup data (recall 1 at this threshold)."""
+    from gonova_document_parser_spark.functions.dedup import minhash_lsh_verified
+
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_verified(docs, threshold=0.5).collect()
+    }
+    assert verified == exact and len(exact) > 0
+
+
+def test_simhash_md5_variant_deterministic(docs):
+    """md5-variant simhash: 60-bit values, stable across runs, near-dups
+    still at small Hamming distance."""
+    from gonova_document_parser_spark.functions.dedup import simhash_neardup_pairs
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(docs, hash_fn="md5").collect()}
+    assert all(0 <= v < (1 << 60) for v in sig.values())
+    assert sig[0] == sig[1]  # exact dup -> same signature
+    again = {r["doc_id"]: r["simhash"] for r in simhash64(docs, hash_fn="md5").collect()}
+    assert sig == again
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(docs, max_hamming=3, bands=4, hash_fn="md5").collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_embed_encoder_injection(spark):
+    """make_embed_udf accepts an injected encoder; oracle_encode components
+    round-trip to exact sha256 bytes."""
+    import hashlib
+
+    from gonova_document_parser_spark.functions.embeddings import (
+        embed_expr,
+        oracle_encode,
+    )
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    vec = df.select(embed_expr("text", encoder=oracle_encode).alias("e")).collect()[0]["e"]
+    digest = hashlib.sha256(b"hello world").digest()
+    assert len(vec) == 32
+    assert [round(v * 255) for v in vec] == list(digest)
+    # custom injected encoder is actually used
+    vec2 = df.select(
+        embed_expr("text", encoder=lambda t: [float(len(t))]).alias("e")
+    ).collect()[0]["e"]
+    assert vec2 == [11.0]

@@ -117,6 +117,36 @@ def test_catalog_table_roundtrip(spark):
     spark.sql("DROP TABLE pages_t")
 
 
+def test_catalog_write_uses_v2_writeTo_first(spark, monkeypatch):
+    """For a catalog table name, write_pages must take the V2 ``writeTo``
+    API (what an Iceberg catalog implements) and NOT fall back to V1
+    ``saveAsTable`` when V2 succeeds.  No Iceberg jar ships in this
+    container, so V2 success is simulated; the real fallback path is
+    covered by test_catalog_table_roundtrip."""
+    from gonova_document_parser_spark.corpus import generate_pages
+    from gonova_document_parser_spark.sources import write_pages
+
+    calls = []
+
+    class FakeV2Writer:
+        def createOrReplace(self):
+            calls.append("v2_createOrReplace")
+
+    pages = generate_pages(spark, 5, num_partitions=1)
+    cls = type(pages)  # patch the concrete DataFrame class (classic/connect)
+    monkeypatch.setattr(
+        cls, "writeTo", lambda self, t: calls.append(("writeTo", t)) or FakeV2Writer()
+    )
+
+    class ExplodingV1:
+        def __getattr__(self, _):
+            raise AssertionError("V1 write path used despite V2 success")
+
+    monkeypatch.setattr(cls, "write", property(lambda self: ExplodingV1()))
+    write_pages(pages, "iceberg.db.pages")
+    assert calls == [("writeTo", "iceberg.db.pages"), "v2_createOrReplace"]
+
+
 def test_signature_detection(spark):
     df = spark.createDataFrame(
         [

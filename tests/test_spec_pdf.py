@@ -5,7 +5,7 @@ import zlib
 from gonova_document_parser_spark.spec.pdfx import (
     extract_pdf_pages,
     pdf_text_len,
-    _decode_pdf_string,
+    _unescape_pdf_string,
 )
 
 
@@ -100,7 +100,7 @@ def test_td_tstar_and_tj_array():
 
 
 def test_string_escapes_and_hex():
-    assert _decode_pdf_string(rb"a\(b\)c \\ \n \101") == "a(b)c \\ \n A"
+    assert _unescape_pdf_string(rb"a\(b\)c \\ \n \101") == b"a(b)c \\ \n A"
     content = b"BT 1 0 0 1 50 700 Tm <48656C6C6F> Tj ET"
     pages = extract_pdf_pages(_doc([content]))
     assert pages[0][0][1] == "Hello"
@@ -118,3 +118,67 @@ def test_malformed_pdf_falls_back_gracefully():
     }
     pages = extract_pdf_pages(_pdf(objs))
     assert pages[0][0][1] == "fallback"
+
+
+def _cid_doc(cmap: bytes, content: bytes) -> bytes:
+    """One-page PDF with an Identity-H font whose /ToUnicode is ``cmap``."""
+    return _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"
+            ),
+            4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            5: (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+                b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+            ),
+            6: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        }
+    )
+
+
+_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"2 beginbfchar\n<0001> <0048>\n<0002> <0065>\nendbfchar\n"
+    b"1 beginbfrange\n<0010> <0012> <006C>\nendbfrange\n"  # 10->l 11->m 12->n
+    b"1 beginbfrange\n<0020> <0021> [<00570057> <0021>]\nendbfrange\n"
+    b"endcmap\nend\n"
+)
+
+
+def test_tounicode_bfchar_and_bfrange():
+    """Identity-H 2-byte codes decode through the ToUnicode CMap: bfchar
+    singles, scalar bfrange offsets, and array-destination ranges."""
+    # codes: 0001 0002 0010 0011 0012 -> "Helmn"
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <00010002001000110012> Tj ET"
+    pages = extract_pdf_pages(_cid_doc(_CMAP, content))
+    assert pages[0][0][1] == "Helmn"
+
+
+def test_tounicode_array_destination_multichar():
+    # code 0020 -> "WW" (two UTF-16BE chars), 0021 -> "!"
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <00200021> Tj ET"
+    pages = extract_pdf_pages(_cid_doc(_CMAP, content))
+    assert pages[0][0][1] == "WW!"
+
+
+def test_tounicode_unmapped_code_is_replacement():
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <0001FFFE> Tj ET"
+    pages = extract_pdf_pages(_cid_doc(_CMAP, content))
+    assert pages[0][0][1] == "H�"
+
+
+def test_tounicode_surrogate_pair_and_text_len():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0003> <D83DDE00>\nendbfchar\nendcmap\n"
+    )
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <0003> Tj ET"
+    doc = _cid_doc(cmap, content)
+    assert extract_pdf_pages(doc)[0][0][1] == "\U0001f600"
+    assert pdf_text_len(doc) == 1  # one decoded code point
