@@ -26,12 +26,15 @@ document always lands in the same partition).
 from __future__ import annotations
 
 import datetime
+import logging
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.extract import extract_pages
+
+_LOG = logging.getLogger("gonova.checkpoint")
 
 CHECKPOINT_SCHEMA = (
     "run_id string, partition_id int, status string, n_docs long, n_ok long, "
@@ -134,8 +137,15 @@ def run_with_checkpoint(
     input_snapshot: str = "",
     n_waves: int = 4,
     verify_readback: bool = False,
+    on_progress=None,
 ) -> dict:
     """Extract ``pages`` into ``output_path`` with exact resume.
+
+    ``on_progress``: optional callable receiving one dict per committed wave
+    ({run_id, wave, n_waves, partitions_done, partitions_total, n_docs,
+    n_ok, n_err, docs_per_sec}) — the live per-job progress surface the
+    reference exposed over HTTP (``job_manager.py:108-150``), here a
+    driver-side hook (also logged on ``gonova.checkpoint``).
 
     Work proceeds in ``n_waves`` commit units: each wave extracts a slice of
     the todo partitions, commits its data (dynamic partition overwrite) and
@@ -258,6 +268,22 @@ def run_with_checkpoint(
         spark.createDataFrame(ckpt_rows, CHECKPOINT_SCHEMA).write.mode(
             "append"
         ).parquet(checkpoint_path)
+        wave_docs = sum(r[3] for r in ckpt_rows)
+        wave_secs = max((finished - started).total_seconds(), 1e-9)
+        progress = {
+            "run_id": run_id,
+            "wave": w // wave_size + 1,
+            "n_waves": -(-len(todo_ids) // wave_size),
+            "partitions_done": len(done_ids) + w + len(wave_ids),
+            "partitions_total": n_partitions,
+            "n_docs": wave_docs,
+            "n_ok": sum(r[4] for r in ckpt_rows),
+            "n_err": sum(r[5] for r in ckpt_rows),
+            "docs_per_sec": round(wave_docs / wave_secs, 1),
+        }
+        _LOG.info("wave committed: %s", progress)
+        if on_progress is not None:
+            on_progress(progress)
 
     stats = (
         spark.read.schema(CHECKPOINT_SCHEMA)

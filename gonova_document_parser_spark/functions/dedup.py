@@ -36,8 +36,20 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc, via sequence/transform (no UDF)."""
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc, via sequence/transform (no UDF).
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer's aggregate is duplicate-insensitive (``min`` in MinHash,
+    ``collect_set`` in the Jaccard posting build); set-semantics consumers
+    (pair intersection joins) need the default.
+    """
     toks = tokens_expr(text_col)
     # sequence(0, m) counts *down* when m < 0, so short docs need the guard
     sh = F.when(
@@ -47,10 +59,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -73,28 +83,37 @@ def ngram_jaccard_pairs(
     (``minhash_lsh_candidates``), which has no such blowup.  Pass ``None``
     to disable (small-scale oracle verification only).
     """
-    # no .cache(): the exploded shingle table is |docs| x |shingles/doc| —
-    # at corpus scale caching it spills; recomputing the narrow
-    # explode+distinct per consumer is cheaper than materializing it
-    sh = shingles(df, id_col, text_col, n)
+    # Plan shape: ONE groupBy(shingle) replaces the classic shingle
+    # self-join — the posting list (sorted id array) per shingle is built
+    # once, the hot-shingle cap is a cheap size filter on it, and candidate
+    # pairs are generated JVM-side inside the array (transform+slice), so
+    # the shingle table is never shuffled twice nor joined against itself.
+    # No .cache(): the exploded shingle table is |docs| x |shingles/doc| —
+    # at corpus scale caching it spills; recomputing the narrow explode per
+    # consumer is cheaper than materializing it.  distinct=False: collect_set
+    # dedups per shingle during the (map-side partial) aggregation, so the
+    # separate dedup shuffle would be pure waste.
+    sh = shingles(df, id_col, text_col, n, distinct=False)
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    )
     if max_docs_per_shingle is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > max_docs_per_shingle)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        posting = posting.where(F.size("ids") <= max_docs_per_shingle)
+    # per-doc shingle count AFTER the cap (denominator of Jaccard)
+    sizes = (
+        posting.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # all (id_a < id_b) pairs within each posting list, via array exprs
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+    )
     inter = (
-        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        posting.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -117,8 +136,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
     xxhash64(i, shingle).  One explode + ONE groupBy computes all
-    ``num_hashes`` minima (single shuffle; map-side partial min)."""
-    sh = shingles(df, id_col, text_col, n)
+    ``num_hashes`` minima (single shuffle; map-side partial min —
+    duplicate shingles can't change a min, so no dedup pass)."""
+    sh = shingles(df, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
         for i in range(num_hashes)

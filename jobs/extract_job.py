@@ -34,6 +34,8 @@ def main(argv: list[str]) -> None:
         run_id=run_id,
         n_partitions=n_partitions,
         input_snapshot=source,
+        # live per-wave progress (Q5): one JSON line per commit
+        on_progress=lambda p: print(json.dumps({"progress": p}), flush=True),
     )
     print(json.dumps(summary, default=str))
     spark.stop()

@@ -154,3 +154,20 @@ def test_verify_readback_mode(spark, paths):
     )
     assert s["n_docs"] == 60
     assert s["n_ok"] + s["n_err"] == 60
+
+
+def test_per_wave_progress_hook(spark, paths):
+    """Q5 live progress: one callback per committed wave with cumulative
+    partition counts and per-wave doc totals."""
+    out, ckpt = paths
+    pages = generate_pages(spark, 80, num_partitions=2)
+    seen = []
+    s = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="rp", n_partitions=8, n_waves=4,
+        on_progress=seen.append,
+    )
+    assert [p["wave"] for p in seen] == [1, 2, 3, 4]
+    assert all(p["partitions_total"] == 8 for p in seen)
+    assert [p["partitions_done"] for p in seen] == [2, 4, 6, 8]
+    assert sum(p["n_docs"] for p in seen) == 80 == s["n_docs"]
+    assert all(p["docs_per_sec"] > 0 for p in seen)
