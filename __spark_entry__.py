@@ -289,7 +289,11 @@ def _q_quality_scores(spark, sf_dir):
 
 
 def _q_lang_id_counts(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    # heavy per-row stopword filters over a compacted (1-task) scan:
+    # fan_out parallelizes, no-op when the scan already has enough tasks
+    from gonova_document_parser_spark.plans.partitioning import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
     return (
         d.select(F.col("lang").alias("lang_true"), lang_id_expr("text").alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")

@@ -88,9 +88,12 @@ def phase_queries() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm (plan+codegen+io cache)
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(3):  # median-of-3 (project measurement invariant)
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            walls.append(time.time() - t0)
+        timings[name] = round(sorted(walls)[1], 3)
     print(json.dumps(timings))
     spark.stop()
 

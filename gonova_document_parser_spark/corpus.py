@@ -299,8 +299,14 @@ def doc_to_page(doc_id: int, text: str, lang: str) -> dict:
 
 
 def pages_from_documents(docs_df):
-    """documents(doc_id, text, lang, ...) -> pages corpus, distributed."""
+    """documents(doc_id, text, lang, ...) -> pages corpus, distributed.
+
+    fan_out before the render UDF: the documents scan of a compacted small
+    table carries one task, and the per-row page render is the expensive
+    part (no-op when the scan already has enough tasks)."""
     import pandas as pd
+
+    from .plans.partitioning import fan_out
 
     def gen(batches):
         for pdf in batches:
@@ -310,7 +316,7 @@ def pages_from_documents(docs_df):
             ]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
-    return docs_df.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_DDL)
+    return fan_out(docs_df.select("doc_id", "text", "lang")).mapInPandas(gen, PAGES_DDL)
 
 
 def generate_pages(spark, n_rows: int, seed: int = SEED, num_partitions: int | None = None):

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.partitioning import fan_out
 from .textstats import normalized_text_expr, tokens_expr
 
 
@@ -51,15 +52,25 @@ def shingles(
     (pair intersection joins) need the default.
     """
     toks = tokens_expr(text_col)
-    # sequence(0, m) counts *down* when m < 0, so short docs need the guard
+    # n shifted O(k) slices zipped per DOC, not per shingle: the naive
+    # per-position slice inside the lambda is O(k^2) per doc, and
+    # element_at-in-lambda is interpreted (measured 3x slower still)
+    m = F.size(toks) - (n - 1)  # number of shingles
+    shifted = [F.slice(toks, j + 1, m) for j in range(n)]
+    zipped = F.arrays_zip(*shifted)
     sh = F.when(
         F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    # fan_out BEFORE the explode: the expansion multiplies rows after the
+    # scan, so a compacted small input (one scan task) would otherwise run
+    # the whole shingle build on one core
+    out = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    )
     return out.distinct() if distinct else out
 
 
@@ -272,7 +283,8 @@ def simhash64(
     else:
         h = F.xxhash64("tok")
     toks = (
-        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
         .withColumn("h", h)
     )
     votes = [

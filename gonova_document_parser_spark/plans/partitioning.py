@@ -55,6 +55,20 @@ def plan_extraction_partitions(
     return spread_by_url(df, min(waves * default_parallelism, max_partitions))
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: defaultParallelism)
+    before a per-row EXPANSION operator (explode, shingle, tokenize).
+
+    Scans of small/compacted inputs can carry fewer tasks than cores; the
+    expansion multiplies rows AFTER the scan, so the cheap fix is one
+    round-robin shuffle of the small pre-expansion rows.  No-op when the
+    plan already has enough partitions (the 100 TB case — scans there carry
+    thousands of tasks), so it is safe to apply unconditionally.
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+
+
 def with_host_salt(df: DataFrame, n_salts: int = 16, url_col: str = "url") -> DataFrame:
     """Add (host, salt) columns for two-level salted per-host aggregation.
 

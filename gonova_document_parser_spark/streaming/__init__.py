@@ -1,3 +1,5 @@
 from .pipeline import stream_extract
+from .stateful import stream_dedup
+from .windowed import windowed_event_counts
 
-__all__ = ["stream_extract"]
+__all__ = ["stream_extract", "stream_dedup", "windowed_event_counts"]
