@@ -243,6 +243,41 @@ def _q_nation_revenue(spark, sf_dir):
     )
 
 
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k — exercises join ordering,
+    date predicate pushdown into all three scans, and TakeOrderedAndProject.
+    customer is the broadcast side; orders/lineitem co-shuffle on orderkey.
+    (The synthetic orders table carries o_orderpriority, standing in for
+    Q3's o_shippriority.)"""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    # NTZ cast so the comparison stays on the column type and the
+    # predicate pushes into the parquet scan (a TZ cast would wrap the column)
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < cutoff
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dup_groups(_docs(spark, sf_dir)).select("fp", "n_dups", "keeper")
 
@@ -535,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_by_value": _q_top_users_by_value,
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
+        "shipping_priority": _q_shipping_priority,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -659,6 +695,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)::DOUBLE
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

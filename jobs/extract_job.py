@@ -3,7 +3,11 @@
 Usage:
   spark-submit --py-files gonova.zip jobs/extract_job.py \
       <pages_parquet_or_table> <output_path> <checkpoint_path> \
-      [run_id] [n_partitions]
+      [run_id] [n_partitions] [n_waves] [--verify]
+
+``n_waves`` sets commit granularity (fewer waves = faster, larger at-risk
+window on a kill); ``--verify`` re-reads each written wave and asserts the
+observed metrics match (audit mode, 2x read cost).
 
 Resumable: re-running with the same run_id skips completed partitions
 (see gonova_document_parser_spark.checkpoint for the protocol).
@@ -20,9 +24,12 @@ from gonova_document_parser_spark.sources import read_pages
 
 
 def main(argv: list[str]) -> None:
+    verify = "--verify" in argv
+    argv = [a for a in argv if a != "--verify"]
     source, output, ckpt = argv[0], argv[1], argv[2]
     run_id = argv[3] if len(argv) > 3 else "run-default"
     n_partitions = int(argv[4]) if len(argv) > 4 else 64
+    n_waves = int(argv[5]) if len(argv) > 5 else 4
     spark = get_spark(app_name="gonova-extract")
     spark.sparkContext.setLogLevel("WARN")
     pages = read_pages(spark, source)
@@ -34,6 +41,8 @@ def main(argv: list[str]) -> None:
         run_id=run_id,
         n_partitions=n_partitions,
         input_snapshot=source,
+        n_waves=n_waves,
+        verify_readback=verify,
         # live per-wave progress (Q5): one JSON line per commit
         on_progress=lambda p: print(json.dumps({"progress": p}), flush=True),
     )
