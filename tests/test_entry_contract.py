@@ -44,3 +44,23 @@ def test_query_matches_oracle(spark, duck, name):
         return
     ok, detail = compare_query(df, duck, sql)
     assert ok, f"{name}: {detail}"
+
+
+def test_no_cartesian_or_rowwise_python_in_any_query_plan(spark):
+    """Sweeping scale-guard: NO driver query may compile to a
+    CartesianProduct (all-pairs blowup) or BatchEvalPython (row-at-a-time
+    Python UDF — only Arrow-batched ArrowEvalPython/MapInPandas allowed)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in E.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -77,3 +77,44 @@ def test_never_raises_on_arbitrary_bytes(data):
     assert r["page_type"] in ("html", "pdf", "scanned")
     assert isinstance(r["extracted_text"], str)
     assert r["success"] in (True, False)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=80, deadline=None)
+def test_cmap_parser_never_raises(data):
+    """ToUnicode CMap parsing over arbitrary bytes: always returns a
+    (code_len >= 1, dict) pair, never raises."""
+    from gonova_document_parser_spark.spec.pdfx import _parse_cmap
+
+    code_len, mapping = _parse_cmap(data)
+    assert code_len >= 1
+    assert isinstance(mapping, dict)
+
+
+@given(st.binary(max_size=2048), st.integers(min_value=0, max_value=3))
+@settings(max_examples=60, deadline=None)
+def test_cmap_decoding_pdf_never_raises(cmap_bytes, pad):
+    """A PDF whose /ToUnicode stream is arbitrary bytes still extracts or
+    degrades to an error row — never an exception."""
+    from gonova_document_parser_spark.spec import extract_document
+
+    content = b"BT /F1 9 Tf 1 0 0 1 50 700 Tm <0001> Tj (plain) Tj ET" + b" " * pad
+    doc = b"".join(
+        [
+            b"%PDF-1.4\n",
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R ",
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n",
+            b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content),
+            content,
+            b"\nendstream\nendobj\n",
+            b"5 0 obj\n<< /Type /Font /ToUnicode 6 0 R >>\nendobj\n",
+            b"6 0 obj\n<< /Length %d >>\nstream\n" % len(cmap_bytes),
+            cmap_bytes,
+            b"\nendstream\nendobj\n%%EOF\n",
+        ]
+    )
+    r = extract_document(doc)
+    assert isinstance(r["extracted_text"], str)
+    assert r["page_type"] in ("pdf", "scanned")
