@@ -407,6 +407,43 @@ def _q_curation_filter(spark, sf_dir):
     )
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII detect+redact over deterministically PII-augmented text: the
+    synthetic corpus has no contact info, so both engines append the same
+    email/phone/IP suffix per doc — the scrub transformation is verified
+    non-trivially (md5 of redacted text must match DuckDB byte-for-byte)."""
+    from gonova_document_parser_spark.functions.pii import (
+        pii_counts,
+        scrub_pii_expr,
+    )
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-01"),
+        F.col("doc_id").cast("string"),
+        F.lit(" via 192.168.0.1 now"),
+    )
+    counts = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(scrub_pii_expr(aug)).alias("scrubbed_md5"),
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc token-repetition quality signal."""
+    from gonova_document_parser_spark.functions.pii import repetition_ratio_expr
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", repetition_ratio_expr("text").alias("rep_ratio"))
+
+
 def _q_token_histogram(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bucket = (F.floor(token_count_expr("text") / 10) * 10).cast("long")
@@ -595,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups": _q_simhash_neardups,
         "curation_filter": _q_curation_filter,
         "token_histogram": _q_token_histogram,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -875,6 +914,42 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        # -- PII scrub: identical RE2-compatible regexes run in both engines
+        #    over identically-augmented text; md5 pins the redacted bytes
+        "pii_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1 (555) 010-01'
+                            || CAST(doc_id AS VARCHAR)
+                            || ' via 192.168.0.1 now' AS t
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+                     AS n_emails,
+                   len(regexp_extract_all(t,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::INT AS n_ips,
+                   len(regexp_extract_all(t,
+                       '\\+?\\d[\\d\\s().-]{6,}\\d'))::INT AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                       '\\+?\\d[\\d\\s().-]{6,}\\d', '[PHONE]', 'g'))
+                     AS scrubbed_md5
+            FROM aug
+        """,
+        "repetition_stats": """
+            SELECT doc_id,
+                   CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                        THEN ROUND(1.0 -
+                             len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+                             * 1.0 /
+                             len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+                        ELSE 0.0 END::DOUBLE AS rep_ratio
+            FROM documents
         """,
         # -- md5-variant simhash: DuckDB reproduces the 60-bit token hash,
         #    the per-bit votes, and the sign packing bit-for-bit

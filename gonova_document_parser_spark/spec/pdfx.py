@@ -34,6 +34,9 @@ import zlib
 LINE_Y_TOLERANCE = 2.0  # items within this |dy| are one line
 BLOCK_GAP = 20.0  # vertical gap starting a new block
 COLUMN_GAP = 100.0  # x-gap between line starts that splits columns
+# TJ kerning offsets are thousandths of an em; real-world PDFs encode
+# inter-word gaps as large negative offsets instead of space glyphs.
+TJ_SPACE_THRESHOLD = -180.0  # offset <= this emits one space (pinned spec)
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
@@ -476,9 +479,13 @@ def _items_from_stream(
                 items.append((x, y, text))
             stack.clear()
         elif op == "TJ" and stack and stack[-1][0] == "arr":
-            text = "".join(
-                _decode_string(t[1], cmap) for t in stack[-1][1] if t[0] == "str"
-            )
+            parts = []
+            for t in stack[-1][1]:
+                if t[0] == "str":
+                    parts.append(_decode_string(t[1], cmap))
+                elif t[0] == "num" and t[1] <= TJ_SPACE_THRESHOLD:
+                    parts.append(" ")  # kerned word gap -> space
+            text = "".join(parts)
             if text:
                 items.append((x, y, text))
             stack.clear()

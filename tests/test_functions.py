@@ -284,3 +284,41 @@ def test_embed_encoder_injection(spark):
         embed_expr("text", encoder=lambda t: [float(len(t))]).alias("e")
     ).collect()[0]["e"]
     assert vec2 == [11.0]
+
+
+def test_pii_scrub_and_counts(spark):
+    from gonova_document_parser_spark.functions.pii import (
+        pii_counts,
+        repetition_ratio_expr,
+        scrub_pii_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.255, nothing else"),
+            (3, "clean text with no contact info at all"),
+            (4, "dup dup dup dup words words"),
+        ],
+        "doc_id long, text string",
+    )
+    c = pii_counts("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            scrub_pii_expr("text").alias("s"),
+            repetition_ratio_expr("text").alias("rep"),
+        ).collect()
+    }
+    assert rows[1]["e"] == 1 and rows[1]["p"] >= 1
+    assert "[EMAIL]" in rows[1]["s"] and "[PHONE]" in rows[1]["s"]
+    assert "jane.doe" not in rows[1]["s"] and "555" not in rows[1]["s"]
+    assert rows[2]["i"] == 2 and rows[2]["s"].count("[IP]") == 2
+    assert rows[3]["e"] == rows[3]["i"] == 0 and rows[3]["s"] == df.collect()[2]["text"]
+    # 6 tokens, 2 distinct -> 1 - 2/6
+    assert abs(rows[4]["rep"] - (1 - 2 / 6)) < 1e-6
+    assert rows[3]["rep"] < rows[4]["rep"]

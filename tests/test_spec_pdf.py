@@ -182,3 +182,11 @@ def test_tounicode_surrogate_pair_and_text_len():
     doc = _cid_doc(cmap, content)
     assert extract_pdf_pages(doc)[0][0][1] == "\U0001f600"
     assert pdf_text_len(doc) == 1  # one decoded code point
+
+
+def test_tj_kerning_offsets_become_spaces():
+    """Real-world TJ arrays encode word gaps as large negative kerning
+    offsets; small offsets are intra-word kerning and emit nothing."""
+    content = b"BT 1 0 0 1 50 700 Tm [(Hel) -20 (lo) -250 (world) -500 (x)] TJ ET"
+    pages = extract_pdf_pages(_doc([content]))
+    assert pages[0][0][1] == "Hello world x"
