@@ -568,7 +568,9 @@ def _q_ivf_topk(spark, sf_dir):
         _IVF_INDEX_CACHE[sf_dir] = path
     emb = _emb(spark, sf_dir)
     q = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return ivf_probe(spark, path, q, k=10, n_probe=4)
+    # n_probe=6/16 cells: recall@10 0.85 for a 37.5% scan (sweep in
+    # BENCH/BASELINE.md 1a: 4->0.76, 6->0.85, 8->0.91)
+    return ivf_probe(spark, path, q, k=10, n_probe=6)
 
 
 def _q_media_features(spark, sf_dir):
