@@ -92,3 +92,38 @@ def test_extraction_plan_is_narrow(spark, corpus):
     """No shuffle (Exchange) in the extraction plan itself."""
     plan = extract_pages(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_image_header_metadata_is_real():
+    """PNG/GIF/JPEG dimensions come from the actual container header (pure
+    Python, no codec libs) — only pixel decoding stays stubbed."""
+    import struct
+
+    from gonova_document_parser_spark.operators.multimodal import (
+        decode_media,
+        parse_image_header,
+        sniff_media_type,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 9   # APP0 (len 16)
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    assert sniff_media_type(png) == "png" and parse_image_header(png) == (640, 480)
+    assert sniff_media_type(gif) == "gif" and parse_image_header(gif) == (320, 200)
+    assert sniff_media_type(jpeg) == "jpeg" and parse_image_header(jpeg) == (1920, 1080)
+    w, h, feats = decode_media(png, "png", fake=True)
+    assert (w, h) == (640, 480) and len(feats) == 16
+    # opaque payload still deterministic hash-derived
+    w2, h2, _ = decode_media(b"opaque bytes", "image", fake=True)
+    assert 1 <= w2 <= 256 and 1 <= h2 <= 256
+    assert parse_image_header(b"\xff\xd8\xff\xc0\x00") is None  # truncated
+    assert sniff_media_type(b"RIFF....WAVE") == "wav"
+    assert sniff_media_type(b"%PDF-1.4") == "pdf_scan"
