@@ -4,11 +4,13 @@
                         rendered deterministically from sf0.001 documents.
 ``queries()``         — one entry per implemented operator (SURVEY.md §2);
                         each callable: (spark, sf_dir) -> DataFrame.
-``oracle_sql()``      — DuckDB-equivalent ANSI SQL per query where the op is
-                        SQL-expressible; engine-hash-dependent ops (minhash,
-                        simhash, LSH) and the extraction pipeline itself are
-                        rows-only checked here and byte-identity checked by
-                        the pytest suite (tests/).
+``oracle_sql()``      — DuckDB-equivalent ANSI SQL per query, including the
+                        flagship extraction pipeline (the deterministic page
+                        render + extractor reduce to closed-form SQL, so the
+                        byte-identical-text contract is driver-verified).
+                        Only engine-hash/kmeans-dependent ops (raw LSH
+                        candidate sets, xxhash64 ANN buckets, seeded KMeans
+                        cells) are rows-only here; those are pytest-pinned.
 
 Column-name parity rule: every computed column is aliased identically in the
 Spark builder and the SQL string.  Floats are rounded (and DuckDB-side cast
@@ -77,7 +79,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _q_extract_pipeline(spark, sf_dir):
-    """M1+A1+C1 fused pipeline (rows-only here; byte-identity in tests/)."""
+    """M1+A1+C1 fused pipeline — oracle-checked: the DuckDB side rebuilds
+    the expected extracted text closed-form (see oracle_sql), so the
+    byte-identical-per-url contract is hard-verified by the driver."""
     ext = extract_pages(pages_from_documents(_docs(spark, sf_dir)))
     return ext.select(
         "url",
@@ -916,6 +920,66 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        # -- THE FLAGSHIP ORACLE: the page render (corpus.doc_to_page) and the
+        #    extractor (spec/) are both deterministic pure functions of
+        #    (doc_id, text), so the extracted text — page markers, heading +
+        #    12-word paragraph blocks for HTML, 6-word lines in 4-line blocks
+        #    for PDFs, exact error-marker bytes for scanned — is closed-form
+        #    SQL.  Validated byte-identical over every sf0.01 document.
+        "extract_pipeline": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents),
+            m AS (
+                SELECT doc_id, ws, len(ws) AS nw, doc_id % 10 AS m10 FROM d),
+            pdfl AS (
+                SELECT doc_id, ws, nw, m10,
+                       CASE WHEN nw = 0 THEN ['doc ' || CAST(doc_id AS VARCHAR)]
+                            ELSE list_transform(
+                                   generate_series(1, CAST(CEIL(nw/6.0) AS INT)),
+                                   i -> array_to_string(ws[(i-1)*6+1 : i*6], ' '))
+                       END AS lines
+                FROM m),
+            feat AS (
+                SELECT doc_id, ws, nw, m10, lines,
+                       list_aggregate(list_transform(lines, l -> len(l)), 'sum')
+                         AS pdf_chars,
+                       len(lines) AS n_lines
+                FROM pdfl),
+            built AS (
+                SELECT doc_id, m10,
+                       CASE
+                         WHEN m10 <= 6 THEN
+                           list_prepend('Document ' || CAST(doc_id AS VARCHAR),
+                             list_transform(
+                               generate_series(1, CAST(CEIL(nw/12.0) AS INT)),
+                               i -> array_to_string(ws[(i-1)*12+1 : i*12], ' ')))
+                         WHEN m10 = 9 OR pdf_chars < 50 THEN []::VARCHAR[]
+                         ELSE list_transform(
+                                generate_series(1, CAST(CEIL(n_lines/4.0) AS INT)),
+                                j -> array_to_string(lines[(j-1)*4+1 : j*4], chr(10)))
+                       END AS blocks,
+                       (m10 BETWEEN 7 AND 8) AND pdf_chars >= 50 AS is_pdf
+                FROM feat)
+            SELECT 'https://docs.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN m10 <= 6 THEN 'html'
+                        WHEN is_pdf THEN 'pdf' ELSE 'scanned' END AS page_type,
+                   CASE WHEN m10 <= 6 OR is_pdf THEN
+                          '<!-- Page 1 -->' || chr(10) || chr(10)
+                          || array_to_string(blocks, chr(10) || chr(10))
+                        ELSE '<!-- Page 1 -->' || chr(10) || chr(10)
+                          || '[Error processing page 1: no extractable text layer]'
+                   END AS extracted_text,
+                   CASE WHEN m10 <= 6 OR is_pdf THEN len(blocks)
+                        ELSE 0 END::INT AS n_blocks,
+                   (m10 <= 6 OR is_pdf) AS success,
+                   CASE WHEN m10 <= 6 OR is_pdf THEN ''
+                        ELSE '[Error processing page 1: no extractable text layer]'
+                   END AS error
+            FROM built
         """,
         # -- PII scrub: identical RE2-compatible regexes run in both engines
         #    over identically-augmented text; md5 pins the redacted bytes
