@@ -294,7 +294,12 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
-    return minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+    # md5-hash variant: DuckDB reproduces shingle -> 32 minhashes -> band
+    # hashes -> bucket-join candidates bit-for-bit (hard oracle row); the
+    # xxhash64 production variant is exercised by minhash_lsh_verified
+    return minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5").orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _q_minhash_lsh_verified(spark, sf_dir):
@@ -1061,6 +1066,34 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # -- full minhash+banding pipeline, md5 variant: shingles -> per-i
+        #    minima -> band hash (md5 of comma-joined sig decimals) -> pairs
+        "minhash_lsh_pairs": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents),
+            sh0 AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+            sigs AS (
+                SELECT doc_id, t.i,
+                       MIN(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || shingle),
+                                           1, 15))::BIGINT) AS sig
+                FROM sh0, UNNEST(generate_series(0, 31)) AS t(i)
+                GROUP BY doc_id, t.i),
+            bands AS (
+                SELECT doc_id, i // 4 AS band_id,
+                       md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i))
+                         AS band_hash
+                FROM sigs GROUP BY doc_id, i // 4)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
         """,
         # -- LSH+verify pipeline invariant: on this corpus LSH recall at 0.5
         #    is 1, so the verified output equals the exact Jaccard method

@@ -138,20 +138,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_hash(i: int, hash_fn: str):
+    if hash_fn == "md5":
+        # low 60 bits of md5("{i}:{shingle}") — DuckDB-reproducible
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    return F.xxhash64(F.lit(i), F.col("shingle"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
-    xxhash64(i, shingle).  One explode + ONE groupBy computes all
+    hash_i(shingle).  One explode + ONE groupBy computes all
     ``num_hashes`` minima (single shuffle; map-side partial min —
-    duplicate shingles can't change a min, so no dedup pass)."""
+    duplicate shingles can't change a min, so no dedup pass).
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — the 100 TB path) or
+    ``"md5"`` (DuckDB reproduces it bit-for-bit, enabling a hard oracle on
+    the whole minhash+banding pipeline)."""
     sh = shingles(df, id_col, text_col, n, distinct=False)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
+        F.min(_minhash_hash(i, hash_fn)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -164,6 +182,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
@@ -171,16 +190,23 @@ def minhash_lsh_candidates(
     (id_a, id_b) with id_a < id_b.  The self-join keys on (band_id,
     band_hash) so only same-bucket docs meet — this is the 100 TB-scale
     near-dup path (verify candidates with ``ngram_jaccard_pairs`` or
-    signature agreement afterwards)."""
+    signature agreement afterwards).  ``hash_fn`` as in
+    ``minhash_signatures``; with md5 the band hash is md5 of the
+    comma-joined signature decimals (also DuckDB-reproducible)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+
+    def band_hash(b: int):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "band_hash"
-            ),
+            band_hash(b).alias("band_hash"),
         )
         for b in range(bands)
     ]
