@@ -370,13 +370,17 @@ def _q_emb_topk_cosine(spark, sf_dir):
 
 
 def _q_ann_topk_lsh(spark, sf_dir):
+    # integer-quantized variant: bucket sign tests are exact integer math,
+    # so the candidate set (and result) is engine-reproducible — hard
+    # DuckDB oracle.  Float-hyperplane variants (expression + numpy paths,
+    # recall@10 0.95 measured) remain for production and are pytest-pinned.
+    from gonova_document_parser_spark.functions.similarity import (
+        ann_topk_lsh_quantized,
+    )
+
     emb = _emb(spark, sf_dir)
     q = [float(v) for v in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
-    # 16 tables x 4 planes via the numpy-vectorized bucketer: recall@10 0.95
-    # on sf0.01 (measured), constant plan size
-    return ann_topk_lsh(
-        emb, q, dim=len(q), k=10, n_tables=16, n_planes=4, vectorized=True
-    )
+    return ann_topk_lsh_quantized(emb, q, dim=len(q), k=10, n_tables=16, n_planes=4)
 
 
 def _q_result_lookup(spark, sf_dir):
@@ -665,6 +669,19 @@ _LANG_HITS = {
 }
 
 
+
+def _quant_planes_values(dim: int = 64, n_tables: int = 16, n_planes: int = 4) -> str:
+    """Inline VALUES rows of the integer hyperplanes for the ANN oracle."""
+    from gonova_document_parser_spark.functions.similarity import _int_hyperplane
+
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            comps = ", ".join(str(v) for v in _int_hyperplane(dim, t, p))
+            rows.append(f"({t}, {p}, [{comps}])")
+    return ",\n                ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     jaccard = "(n_inter * 1.0 / (n_a + n_b - n_inter))"
     return {
@@ -925,6 +942,41 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        # -- integer-quantized ANN: bucket bits from exact integer dot
+        #    products (|products| < 2^53, exact even in float64), so DuckDB
+        #    reproduces the candidate set; final scoring reuses the proven
+        #    4dp cosine
+        "ann_topk_lsh": f"""
+            WITH planes(t, p, comps) AS (
+                VALUES {_quant_planes_values()}),
+            qv AS (
+                SELECT list_transform(embedding::DOUBLE[],
+                                      x -> ROUND(x * 1000)) AS q
+                FROM embeddings WHERE vec_id = 0),
+            qb AS (
+                SELECT pl.t,
+                       SUM(CASE WHEN list_dot_product(qv.q, pl.comps::DOUBLE[]) >= 0
+                                THEN (1 << pl.p) ELSE 0 END) AS bucket
+                FROM qv, planes pl GROUP BY pl.t),
+            vb AS (
+                SELECT e.vec_id, pl.t,
+                       SUM(CASE WHEN list_dot_product(
+                                  list_transform(e.embedding::DOUBLE[],
+                                                 x -> ROUND(x * 1000)),
+                                  pl.comps::DOUBLE[]) >= 0
+                                THEN (1 << pl.p) ELSE 0 END) AS bucket
+                FROM embeddings e, planes pl GROUP BY e.vec_id, pl.t),
+            cands AS (
+                SELECT DISTINCT vb.vec_id
+                FROM vb JOIN qb ON vb.t = qb.t AND vb.bucket = qb.bucket)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       e.embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),
+                     4)::DOUBLE AS cosine
+            FROM embeddings e JOIN cands USING (vec_id)
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         # -- THE FLAGSHIP ORACLE: the page render (corpus.doc_to_page) and the
         #    extractor (spec/) are both deterministic pure functions of

@@ -191,6 +191,103 @@ def lsh_bucket_candidates(
     )
 
 
+def _int_hyperplane(dim: int, table: int, plane: int, seed: int = 42) -> list[int]:
+    """Deterministic INTEGER hyperplane components in [-32768, 32767].
+
+    Same mix as ``_hyperplane`` but truncated to 16-bit ints, so bucket
+    sign tests are exact integer arithmetic — bit-reproducible by any
+    engine (DuckDB included), with no float-summation-order hazard.
+    """
+    return [int(v * 32768) for v in _hyperplane(dim, table, plane, seed)]
+
+
+def quantized_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, table_id, bucket) via integer-quantized sign tests.
+
+    Vectors quantize to round(x*scale) BIGINTs; hyperplanes are 16-bit
+    ints; the sign of their integer dot product decides each bucket bit.
+    Products stay < 2^53, so even a float64 engine computes them exactly —
+    the bucket assignment is engine-independent, unlike float hyperplanes
+    where a near-zero dot's sign depends on summation order.
+    """
+    # cast to double BEFORE scaling: float32*int stays float32 in Spark and
+    # would round differently from an engine computing in double
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(v).cast("long") for v in _int_hyperplane(dim, t, p, seed)]
+            )
+            dot = F.aggregate(
+                F.zip_with(q, plane, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*tables)).alias("tb")
+    ).select(id_col, "tb.table_id", "tb.bucket")
+
+
+def ann_topk_lsh_quantized(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Approximate top-k with integer-exact bucket pruning.
+
+    The query's buckets are computed driver-side with the same integer
+    math; only vectors sharing a bucket in some table are cosine-scored
+    (4dp-rounded, id tie-break).  Because every bucket decision is integer
+    arithmetic, the candidate set — and therefore the result — is
+    bit-reproducible across engines (hard DuckDB oracle)."""
+    qv = [round(v * scale) for v in query_vec]
+    wanted = set()
+    for t in range(n_tables):
+        bucket = 0
+        for p in range(n_planes):
+            h = _int_hyperplane(dim, t, p, seed)
+            if sum(a * b for a, b in zip(qv, h)) >= 0:
+                bucket |= 1 << p
+        wanted.add((t, bucket))
+    b = quantized_lsh_buckets(df, dim, n_tables, n_planes, seed, id_col, vec_col, scale)
+    cond = None
+    for t, bk in sorted(wanted):
+        c = (F.col("table_id") == t) & (F.col("bucket") == bk)
+        cond = c if cond is None else (cond | c)
+    cand_ids = b.where(cond).select(id_col).distinct()
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
+    return (
+        df.join(cand_ids, id_col)
+        .select(F.col(id_col), cos)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_index(
     df: DataFrame,
     n_cells: int = 16,
