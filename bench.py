@@ -37,8 +37,11 @@ CORPUS_ROWS = int(os.environ.get("GONOVA_BENCH_ROWS", "200000"))
 CORPUS_PARTS = 128
 CACHE = os.path.join(REPO, ".bench_cache", f"pages_{CORPUS_ROWS}")
 
+# extract_pipeline runs LAST: its 32 Arrow python workers + JVM scan
+# buffers linger and add multi-second GC variance to any shuffle-heavy
+# query measured after it (reproduced: jaccard 2.5s isolated vs 5-13s
+# when measured post-extraction in the same session).
 HEADLINE = [
-    "extract_pipeline",
     "classify_counts",
     "route_breakdown",
     "dedup_exact",
@@ -55,6 +58,7 @@ HEADLINE = [
     "events_hourly",
     "top_users_by_value",
     "ordered_merge",
+    "extract_pipeline",
 ]
 
 
