@@ -92,6 +92,9 @@ def phase_queries() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # explicit GC between queries: accumulated heap from earlier queries
+        # otherwise adds multi-second collection pauses to whatever runs late
+        spark.sparkContext._jvm.System.gc()
         fn(spark, SF_DIR).count()  # warm (plan+codegen+io cache)
         walls = []
         for _ in range(3):  # median-of-3 (project measurement invariant)
