@@ -457,6 +457,29 @@ def _q_repetition_stats(spark, sf_dir):
     return d.select("doc_id", repetition_ratio_expr("text").alias("rep_ratio"))
 
 
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization collapse: deterministically messy urls (case,
+    www., default port, utm params, fragments) built identically in both
+    engines reduce to canonical families; counts per family verify the
+    whole normalization chain."""
+    from gonova_document_parser_spark.functions.urls import canonical_url_expr
+
+    d = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Docs.Example.COM:443/d/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("?utm_source=crawl&page="),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&utm_campaign=x#sec"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(canonical_url_expr(messy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def _q_token_histogram(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bucket = (F.floor(token_count_expr("text") / 10) * 10).cast("long")
@@ -648,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_filter": _q_curation_filter,
         "token_histogram": _q_token_histogram,
         "pii_scrub": _q_pii_scrub,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "repetition_stats": _q_repetition_stats,
     }
 
@@ -1037,6 +1061,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '[Error processing page 1: no extractable text layer]'
                    END AS error
             FROM built
+        """,
+        # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
+        #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
+        #    matter (non-anchored patterns)
+        "url_canonical_dedup": """
+            WITH messy AS (
+                SELECT 'HTTPS://WWW.Docs.Example.COM:443/d/'
+                       || CAST(doc_id % 20 AS VARCHAR)
+                       || '?utm_source=crawl&page=' || CAST(doc_id % 4 AS VARCHAR)
+                       || '&utm_campaign=x#sec' || CAST(doc_id AS VARCHAR) AS u
+                FROM documents),
+            s1 AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM messy),
+            s2 AS (SELECT regexp_replace(u,
+                     '[?&](utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*', '', 'g')
+                     AS u FROM s1),
+            s3 AS (SELECT regexp_replace(u, '^([^?]*?)&', '\\1?') AS u FROM s2),
+            s4 AS (SELECT regexp_replace(regexp_replace(u, '\\?&', '?', 'g'),
+                                         '[?&]$', '') AS u FROM s3),
+            s5 AS (SELECT CASE WHEN regexp_extract(u,
+                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) <> ''
+                               THEN lower(regexp_extract(u,
+                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+                                 || regexp_replace(u,
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')
+                               ELSE u END AS u FROM s4),
+            s6 AS (SELECT regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM s5),
+            s7 AS (SELECT regexp_replace(u,
+                     '^(https?://[^/:]+):(80|443)(/|$)', '\\1\\3') AS u FROM s6)
+            SELECT u AS canonical_url, COUNT(*) AS c FROM s7 GROUP BY u
         """,
         # -- PII scrub: identical RE2-compatible regexes run in both engines
         #    over identically-augmented text; md5 pins the redacted bytes

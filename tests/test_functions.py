@@ -340,3 +340,24 @@ def test_ann_quantized_matches_exact_top1_and_recall(spark):
     assert len(set(got) & set(exact)) >= 5  # recall@10 >= 0.5 on this corpus
     again = [r["vec_id"] for r in ann_topk_lsh_quantized(emb, q, dim=64, k=10).collect()]
     assert got == again  # deterministic
+
+
+def test_url_canonicalization(spark):
+    from gonova_document_parser_spark.functions.urls import canonical_url_expr
+
+    cases = [
+        (
+            "HTTPS://WWW.Example.COM:443/Path/Doc?utm_source=x&id=7&utm_campaign=y#f",
+            "https://example.com/Path/Doc?id=7",
+        ),
+        ("http://example.com:80/a?fbclid=abc", "http://example.com/a"),
+        ("https://example.com/a?id=1&gclid=z&x=2", "https://example.com/a?id=1&x=2"),
+        ("https://sub.example.com/CaseKept?Q=UPPER", "https://sub.example.com/CaseKept?Q=UPPER"),
+        ("not a url at all", "not a url at all"),
+        ("https://example.com/?utm_x=1&utm_y=2&z=3", "https://example.com/?z=3"),
+        ("https://example.com:8080/keep-port", "https://example.com:8080/keep-port"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    rows = df.select("expect", canonical_url_expr("url").alias("canon")).collect()
+    for r in rows:
+        assert r["canon"] == r["expect"], r
