@@ -80,6 +80,7 @@ def run_incremental(
     checkpoint_path: str,
     n_partitions: int = 64,
     n_waves: int = 4,
+    use_digest_table: bool = False,
 ) -> dict:
     """Process only urls not yet present in the output (growing corpus).
 
@@ -88,15 +89,31 @@ def run_incremental(
     it under a snapshot-derived run_id, so within one delta the wave-level
     kill/resume semantics of ``run_with_checkpoint`` still apply.
 
-    Scale note: the anti-join keys on url only (both sides pruned to one
-    column); at 10^12 rows feed Spark's bloom-filter join or maintain a
-    url-digest table instead of scanning full output urls.
+    Scale: the anti-join keys on url only (both sides pruned to one
+    column) and Spark's runtime bloom-filter join (session default: on)
+    prunes the shuffle.  ``use_digest_table=True`` goes further: the seen
+    set is an 8-byte-per-url ``_url_digests`` sidecar appended after each
+    delta commit, so incremental runs never rescan the (text-heavy) output
+    at all — the anti-join reads digests only.  Appending digests AFTER
+    the delta commit keeps the crash window safe: a lost append just means
+    those urls anti-join against the digest table as "new" next run, the
+    snapshot id comes out identical, and the wave protocol no-ops the
+    already-committed partitions before the digests are appended again.
     """
+    digest_path = f"{output_path}/_url_digests"
     try:
-        seen = spark.read.parquet(output_path).select("url")
-    except Exception:  # first run: no output yet
-        seen = spark.createDataFrame([], "url string")
-    new_pages = pages.join(seen, "url", "left_anti")
+        if use_digest_table:
+            seen_keys = spark.read.parquet(digest_path).select("url_hash")
+            new_pages = pages.join(
+                seen_keys,
+                F.xxhash64(pages["url"]) == seen_keys["url_hash"],
+                "left_anti",
+            )
+        else:
+            seen = spark.read.parquet(output_path).select("url")
+            new_pages = pages.join(seen, "url", "left_anti")
+    except Exception:  # first run: no output/digests yet
+        new_pages = pages
 
     # snapshot id from the delta's content: stable across retries of the
     # same delta, different for a different delta
@@ -123,6 +140,11 @@ def run_incremental(
         input_snapshot=snap,
         n_waves=n_waves,
     )
+    if use_digest_table:
+        # append AFTER the delta commit (see crash-window note above)
+        new_pages.select(F.xxhash64("url").alias("url_hash")).distinct().write.mode(
+            "append"
+        ).parquet(digest_path)
     summary["n_new"] = agg["n"]
     return summary
 

@@ -171,3 +171,36 @@ def test_per_wave_progress_hook(spark, paths):
     assert [p["partitions_done"] for p in seen] == [2, 4, 6, 8]
     assert sum(p["n_docs"] for p in seen) == 80 == s["n_docs"]
     assert all(p["docs_per_sec"] > 0 for p in seen)
+
+
+def test_incremental_digest_table_mode(spark, paths):
+    """Digest-table incremental: second run's anti-join reads the 8-byte
+    _url_digests sidecar (never rescans the text-heavy output) and still
+    extracts exactly the delta, exactly once."""
+    import os
+
+    from gonova_document_parser_spark.checkpoint import run_incremental
+
+    out, ckpt = paths
+    first = generate_pages(spark, 50, num_partitions=2)
+    s1 = run_incremental(
+        spark, first, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    assert s1["n_new"] == 50
+    assert os.path.isdir(f"{out}/_url_digests")
+    # digest sidecar is invisible to whole-output reads (underscore dir)
+    assert spark.read.parquet(out).count() == 50
+
+    grown = generate_pages(spark, 80, num_partitions=2)  # 50 old + 30 new
+    s2 = run_incremental(
+        spark, grown, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    assert s2["n_new"] == 30
+    result = spark.read.parquet(out)
+    assert result.count() == 80
+    assert result.select("url").distinct().count() == 80
+    # third run: nothing new
+    s3 = run_incremental(
+        spark, grown, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    assert s3["n_new"] == 0 and spark.read.parquet(out).count() == 80
