@@ -1087,8 +1087,9 @@ def oracle_sql() -> dict[str, str]:
                                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')
                                ELSE u END AS u FROM s4),
             s6 AS (SELECT regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM s5),
-            s7 AS (SELECT regexp_replace(u,
-                     '^(https?://[^/:]+):(80|443)(/|$)', '\\1\\3') AS u FROM s6)
+            s7 AS (SELECT regexp_replace(regexp_replace(u,
+                     '^(http://[^/:]+):80(/|$)', '\\1\\2'),
+                     '^(https://[^/:]+):443(/|$)', '\\1\\2') AS u FROM s6)
             SELECT u AS canonical_url, COUNT(*) AS c FROM s7 GROUP BY u
         """,
         # -- PII scrub: identical RE2-compatible regexes run in both engines

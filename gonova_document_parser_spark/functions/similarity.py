@@ -273,7 +273,15 @@ def ann_topk_lsh_quantized(
     (4dp-rounded, id tie-break).  Because every bucket decision is integer
     arithmetic, the candidate set — and therefore the result — is
     bit-reproducible across engines (hard DuckDB oracle)."""
-    qv = [round(v * scale) for v in query_vec]
+    import math
+
+    # half-away-from-zero, matching the executor UDF and DuckDB ROUND —
+    # Python round() is banker's (half-to-even) and would flip a bucket bit
+    # on any query component scaling to an exact .5
+    qv = [
+        int(math.copysign(math.floor(abs(v * scale) + 0.5), v * scale))
+        for v in query_vec
+    ]
     wanted = set()
     for t in range(n_tables):
         bucket = 0

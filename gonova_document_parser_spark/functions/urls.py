@@ -47,5 +47,8 @@ def canonical_url_expr(col="url") -> Column:
     rest = F.regexp_replace(c, head_re, "")
     c = F.when(head != "", F.concat(F.lower(head), rest)).otherwise(c)
     c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")
-    c = F.regexp_replace(c, r"^(https?://[^/:]+):(80|443)(/|$)", r"$1$3")
+    # default-port strip is scheme-matched: :80 is only the default for
+    # http and :443 only for https — http://host:443/x is NOT http://host/x
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     return c

@@ -73,7 +73,9 @@ def process_document(
 
     Mirrors the reference tool's output schema (``agent_tool.py:42-59``):
     {success, document_id, filename, content, nodes, edges, metadata,
-    signatures, error}.  ``scanned_extractor`` is the same OCR seam as
+    signatures, vqa_answers, error} — ``vqa_answers`` is always None, as in
+    the reference (its VQA stage is a stub; SURVEY §2.1 says do not build).
+    ``scanned_extractor`` is the same OCR seam as
     ``spec.extract_document``.  Never raises on document content — bad
     payloads come back as ``success=False`` with the exact error-marker
     bytes the pipeline emits.
@@ -92,6 +94,7 @@ def process_document(
                 "edges": [],
                 "metadata": {},
                 "signatures": [],
+                "vqa_answers": None,
                 "error": f"File not found: {p}",
             }
         data = p.read_bytes()
@@ -128,5 +131,6 @@ def process_document(
         "edges": edges,
         "metadata": meta,
         "signatures": signatures,
+        "vqa_answers": None,  # stubbed in the reference too (agent_tool.py:54-56)
         "error": r["error"],
     }

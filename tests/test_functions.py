@@ -356,6 +356,12 @@ def test_url_canonicalization(spark):
         ("not a url at all", "not a url at all"),
         ("https://example.com/?utm_x=1&utm_y=2&z=3", "https://example.com/?z=3"),
         ("https://example.com:8080/keep-port", "https://example.com:8080/keep-port"),
+        # default-port strip is scheme-matched: :443 on http (and :80 on
+        # https) is a NON-default port naming a different resource — kept
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        ("http://example.com:80", "http://example.com"),
+        ("https://example.com:443", "https://example.com"),
     ]
     df = spark.createDataFrame(cases, "url string, expect string")
     rows = df.select("expect", canonical_url_expr("url").alias("canon")).collect()

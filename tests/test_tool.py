@@ -44,6 +44,31 @@ def test_process_document_error_paths(tmp_path):
     assert bad["content"].endswith(bad["error"])
 
 
+def test_process_document_output_key_parity():
+    """Output dict carries exactly the reference tool's field names
+    (agent_tool.py:42-59), vqa_answers included (always None — the
+    reference's VQA stage is a stub)."""
+    expected = {
+        "success",
+        "document_id",
+        "filename",
+        "content",
+        "nodes",
+        "edges",
+        "metadata",
+        "signatures",
+        "vqa_answers",
+        "error",
+    }
+    page = make_page(2)
+    out = process_document(page["html"])
+    assert set(out.keys()) == expected
+    assert out["vqa_answers"] is None
+    missing = process_document("/nonexistent/never.pdf")
+    assert set(missing.keys()) == expected
+    assert missing["vqa_answers"] is None
+
+
 def test_process_document_signatures():
     doc = (
         b"<html><body><div><p>intro paragraph with enough text to matter</p>"
