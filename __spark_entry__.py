@@ -579,29 +579,63 @@ def _q_doc_embeddings(spark, sf_dir):
     )
 
 
-_IVF_INDEX_CACHE: dict[str, str] = {}
+def _ivf_index_path(sf_dir: str) -> str:
+    """Index location keyed by a CONTENT digest of the embeddings input.
 
-
-def _q_ivf_topk(spark, sf_dir):
-    # IVF (KMeans cells + n_probe) — engine-seeded clustering, rows-only.
-    # Materialize-once + probe: the KMeans job runs a single time per corpus
-    # (cached per process); the per-query plan is a partition-pruned scan of
-    # the n_probe closest cells + top-k — no KMeans fit in the query plan.
-    import hashlib
+    Two different corpora (or two versions of one corpus) hash to different
+    paths, so concurrent drivers and stale indexes can never cross-serve;
+    mutating a single embedding value changes the path
+    (tests/test_functions.py::test_ivf_index_path_keyed_by_content).
+    """
     import os
     import tempfile
 
     from gonova_document_parser_spark.functions.similarity import (
-        ivf_materialize,
-        ivf_probe,
+        input_content_digest,
     )
 
-    path = _IVF_INDEX_CACHE.get(sf_dir)
-    if path is None:
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"gonova_ivf_{key}")
-        ivf_materialize(_emb(spark, sf_dir), path, n_cells=16)
-        _IVF_INDEX_CACHE[sf_dir] = path
+    digest = input_content_digest(os.path.join(sf_dir, "embeddings.parquet"))
+    return os.path.join(tempfile.gettempdir(), f"gonova_ivf_{digest}")
+
+
+def _ensure_ivf_index(spark, sf_dir: str, n_cells: int = 16) -> str:
+    """Materialize the IVF index for ``sf_dir`` if absent; return its path.
+
+    Build goes into a pid-suffixed temp dir then renames into place, so a
+    concurrent builder on the same host either wins the rename or discards
+    its copy — readers only ever see a fully-committed index (the
+    ``_COMPLETE`` marker is written before the rename).
+    """
+    import os
+    import shutil
+
+    from gonova_document_parser_spark.functions.similarity import (
+        ivf_index_ready,
+        ivf_materialize,
+    )
+
+    path = _ivf_index_path(sf_dir)
+    if ivf_index_ready(path):
+        return path
+    tmp = f"{path}.build-{os.getpid()}"
+    ivf_materialize(_emb(spark, sf_dir), tmp, n_cells=n_cells)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # lost the race: another builder committed first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _q_ivf_topk(spark, sf_dir):
+    # IVF (KMeans cells + n_probe). Materialize-once + probe: the KMeans job
+    # runs a single time per corpus content (index keyed by embeddings
+    # digest, committed atomically); the per-query plan is a partition-pruned
+    # scan of the n_probe closest cells + top-k — no KMeans in the query
+    # plan.  The DuckDB oracle recomputes the probe (centroid ranking,
+    # n_probe pruning, 4dp cosine top-k) over the SAME materialized index.
+    from gonova_document_parser_spark.functions.similarity import ivf_probe
+
+    path = _ensure_ivf_index(spark, sf_dir, n_cells=16)
     emb = _emb(spark, sf_dir)
     q = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     # n_probe=6/16 cells: recall@10 0.85 for a 37.5% scan (sweep in
@@ -706,9 +740,60 @@ def _quant_planes_values(dim: int = 64, n_tables: int = 16, n_planes: int = 4) -
     return ",\n                ".join(rows)
 
 
+def _ivf_oracle_sql() -> str | None:
+    """DuckDB SQL hard-verifying the IVF probe over the materialized index.
+
+    Recomputes centroid distance ranking, n_probe=6 pruning, and the
+    4dp-rounded cosine top-k from the SAME ``vectors``/``centroids`` parquet
+    the Spark probe reads.  The seeded-KMeans index BUILD stays out of scope
+    (genuinely non-SQL) — the index is taken as input; the probe math is the
+    verified surface.  If the index is absent it is materialized first (one
+    local KMeans over the oracle-scale embeddings); if that is impossible in
+    the calling context, returns None and the driver records the rows-only
+    check as before.
+    """
+    import os
+
+    sf_dir = os.environ.get("GONOVA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from gonova_document_parser_spark.functions.similarity import (
+            ivf_index_ready,
+        )
+
+        path = _ivf_index_path(sf_dir)
+        if not ivf_index_ready(path):
+            from gonova_document_parser_spark.session import get_spark
+
+            spark = SparkSession.getActiveSession() or get_spark(
+                master="local[8]", shuffle_partitions=16
+            )
+            path = _ensure_ivf_index(spark, sf_dir, n_cells=16)
+    except Exception:  # no Spark available here -> keep the rows-only check
+        return None
+    # ranking key (distance, cell) and the 4dp cosine + vec_id tie-break
+    # mirror ivf_probe exactly; list_distance is monotone in the python
+    # dist2 so the n_probe cut is identical
+    return f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        ranked AS (
+            SELECT c.cell
+            FROM read_parquet('{path}/centroids/*.parquet') c, q
+            ORDER BY list_distance(c.centroid, q.qv), c.cell
+            LIMIT 6)
+        SELECT v.vec_id,
+               ROUND(list_cosine_similarity(v.embedding::DOUBLE[],
+                     (SELECT qv FROM q)), 4)::DOUBLE AS cosine
+        FROM read_parquet('{path}/vectors/*/*.parquet', hive_partitioning=1) v
+        WHERE v.cell IN (SELECT cell FROM ranked)
+        ORDER BY cosine DESC, v.vec_id
+        LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     jaccard = "(n_inter * 1.0 / (n_a + n_b - n_inter))"
-    return {
+    out = {
         "classify_counts": """
             SELECT CASE WHEN n_chars < 50 THEN 'scanned'
                         WHEN n_chars < 200 THEN 'short'
@@ -1325,3 +1410,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY route, route_reason
         """,
     }
+    ivf = _ivf_oracle_sql()
+    if ivf is not None:
+        out["ivf_topk"] = ivf
+    return out

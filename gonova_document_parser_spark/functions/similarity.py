@@ -306,6 +306,39 @@ def ann_topk_lsh_quantized(
     )
 
 
+def input_content_digest(path: str) -> str:
+    """md5 digest of a parquet file's (or directory's) raw bytes.
+
+    Keys materialized artifacts (e.g. an IVF index) to the CONTENT of their
+    input: two different corpora — or two versions of one corpus — can never
+    serve each other's index, and a stale index from an earlier corpus
+    version is unreachable because its path no longer matches.  Hidden files
+    (`_SUCCESS`, `.crc`) are skipped so a Spark rewrite of identical data
+    keys identically.
+    """
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        files = []
+        for root, _, names in os.walk(path):
+            files.extend(
+                os.path.join(root, n)
+                for n in names
+                if not n.startswith(("_", "."))
+            )
+        files.sort()
+    else:
+        files = [path]
+    for f in files:
+        h.update(os.path.basename(f).encode())
+        with open(f, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()[:16]
+
+
 def ivf_index(
     df: DataFrame,
     n_cells: int = 16,
@@ -358,6 +391,18 @@ def ivf_materialize(
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    # completion marker LAST: readers treat an index without it as absent
+    # (a killed build can never serve a half-written index)
+    import pathlib
+
+    pathlib.Path(path, "_COMPLETE").write_text("ok")
+
+
+def ivf_index_ready(path: str) -> bool:
+    """True iff ``path`` holds a fully-committed ``ivf_materialize`` output."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_COMPLETE"))
 
 
 def ivf_probe(
@@ -383,7 +428,9 @@ def ivf_probe(
     def dist2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
-    probed = sorted(cents, key=lambda c: dist2(query_vec, cents[c]))[:n_probe]
+    # (dist2, cell) key: deterministic under ties regardless of the dict's
+    # collect order — and reproducible by the DuckDB oracle's ORDER BY
+    probed = sorted(cents, key=lambda c: (dist2(query_vec, cents[c]), c))[:n_probe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
     return (
@@ -415,9 +462,9 @@ def ivf_topk(
     def dist2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
-    probed = sorted(range(len(centroids)), key=lambda c: dist2(query_vec, centroids[c]))[
-        :n_probe
-    ]
+    probed = sorted(
+        range(len(centroids)), key=lambda c: (dist2(query_vec, centroids[c]), c)
+    )[:n_probe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine")
     return (

@@ -5,12 +5,17 @@ order-insensitive value compare via DuckDB) at sf0.001 so the suite stays
 fast; the driver repeats it at sf0.01.
 """
 
+import os
+
 import pytest
 
 import __spark_entry__ as E
 from tests.oracle_compare import compare_query, duckdb_connection
 
 SF_DIR = "/root/testdata/sf0.001"
+# the ivf_topk oracle reads the materialized index for THIS corpus (the
+# driver leaves the default, /root/testdata/sf0.01)
+os.environ["GONOVA_ORACLE_SF_DIR"] = SF_DIR
 
 
 def test_entry_smoke(spark):

@@ -225,6 +225,48 @@ def test_ivf_materialize_probe(spark, tmp_path):
     assert n_cells_written > 3  # index actually has more cells than probed
 
 
+def test_ivf_index_path_keyed_by_content(tmp_path):
+    """The materialized-index path is a function of the embeddings CONTENT:
+    identical corpora share one index; mutating a single embedding value
+    changes the path (no stale-index cross-serving, VERDICT r2 #2)."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    def write(dirname, vals):
+        d = tmp_path / dirname
+        d.mkdir()
+        pd.DataFrame({"vec_id": [0, 1], "embedding": [vals, vals]}).to_parquet(
+            d / "embeddings.parquet"
+        )
+        return str(d)
+
+    a = write("a", [0.1, 0.2, 0.3])
+    b = write("b", [0.1, 0.2, 0.3])
+    c = write("c", [0.1, 0.2, 0.3000001])
+    pa, pb, pc = (E._ivf_index_path(p) for p in (a, b, c))
+    assert pa == pb  # same content -> same index
+    assert pa != pc  # one mutated component -> different index
+
+
+def test_ivf_index_completion_marker(spark, tmp_path):
+    """A killed build (no _COMPLETE marker) is treated as absent."""
+    from gonova_document_parser_spark.functions.similarity import (
+        ivf_index_ready,
+        ivf_materialize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    assert not ivf_index_ready(path)
+    ivf_materialize(emb, path, n_cells=4)
+    assert ivf_index_ready(path)
+    import os
+
+    os.remove(os.path.join(path, "_COMPLETE"))
+    assert not ivf_index_ready(path)
+
+
 def test_single_shuffle_simhash_plan(docs):
     """SimHash64's 63 bit-votes run in ONE aggregation (single Exchange)."""
     plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
