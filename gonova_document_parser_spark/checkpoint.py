@@ -50,13 +50,42 @@ def partitioned(pages: DataFrame, n_partitions: int) -> DataFrame:
     )
 
 
+def url_digest_expr(col: str = "url") -> F.Column:
+    """128-bit content key for the seen-url sidecar: ``unhex(md5(url))``.
+
+    16 bytes/url keeps the sidecar tiny while making birthday collisions
+    statistically impossible at any corpus size (2^64 urls for a 50% chance
+    of ONE collision) — a 64-bit key would silently drop colliding new urls
+    at the 10^12-row scale this mode targets (ADVICE r2)."""
+    return F.unhex(F.md5(col))
+
+
+def _read_parquet_if_exists(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame | None:
+    """Read ``path`` or return None ONLY if the path does not exist.
+
+    Any other read failure (permissions, corrupt footer, transient FS
+    error) re-raises: treating those as "first run" would silently
+    reprocess the whole input and duplicate output rows (ADVICE r2)."""
+    from pyspark.errors import AnalysisException
+
+    reader = spark.read.schema(schema) if schema else spark.read
+    try:
+        return reader.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def completed_partitions(
     spark: SparkSession, checkpoint_path: str, run_id: str, input_snapshot: str
 ) -> DataFrame:
     """Distinct partition_ids already completed for this (run, snapshot)."""
-    try:
-        ckpt = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_path)
-    except Exception:  # first run: no checkpoint table yet
+    ckpt = _read_parquet_if_exists(spark, checkpoint_path, CHECKPOINT_SCHEMA)
+    if ckpt is None:  # first run: no checkpoint table yet
         return spark.createDataFrame([], "partition_id int")
     return (
         ckpt.where(
@@ -92,28 +121,33 @@ def run_incremental(
     Scale: the anti-join keys on url only (both sides pruned to one
     column) and Spark's runtime bloom-filter join (session default: on)
     prunes the shuffle.  ``use_digest_table=True`` goes further: the seen
-    set is an 8-byte-per-url ``_url_digests`` sidecar appended after each
-    delta commit, so incremental runs never rescan the (text-heavy) output
-    at all — the anti-join reads digests only.  Appending digests AFTER
-    the delta commit keeps the crash window safe: a lost append just means
-    those urls anti-join against the digest table as "new" next run, the
-    snapshot id comes out identical, and the wave protocol no-ops the
-    already-committed partitions before the digests are appended again.
+    set is a 16-byte-per-url (md5) ``_url_digests`` sidecar, so incremental
+    runs never rescan the (text-heavy) output at all — the anti-join reads
+    digests only.  Digests commit PER WAVE inside ``run_with_checkpoint``,
+    ordered data -> digests -> checkpoint rows, all idempotent dynamic
+    partition overwrites: a partition marked completed always has its
+    digests, so even if the crawl input GROWS between a crash and the
+    retry (new snapshot id), committed urls anti-join out and are never
+    re-extracted into the new delta (ADVICE r2).  The residual window — a
+    crash after a wave's digest write but before its checkpoint row — only
+    re-runs that wave, overwriting both stores in place.
     """
     digest_path = f"{output_path}/_url_digests"
-    try:
-        if use_digest_table:
-            seen_keys = spark.read.parquet(digest_path).select("url_hash")
+    if use_digest_table:
+        seen_keys = _read_parquet_if_exists(spark, digest_path)
+        if seen_keys is None:  # first run: no digests yet
+            new_pages = pages
+        else:
             new_pages = pages.join(
-                seen_keys,
-                F.xxhash64(pages["url"]) == seen_keys["url_hash"],
+                seen_keys.select("url_digest"),
+                url_digest_expr(pages["url"]) == seen_keys["url_digest"],
                 "left_anti",
             )
-        else:
-            seen = spark.read.parquet(output_path).select("url")
-            new_pages = pages.join(seen, "url", "left_anti")
-    except Exception:  # first run: no output/digests yet
-        new_pages = pages
+    else:
+        seen = _read_parquet_if_exists(spark, output_path)
+        new_pages = (
+            pages if seen is None else pages.join(seen.select("url"), "url", "left_anti")
+        )
 
     # snapshot id from the delta's content: stable across retries of the
     # same delta, different for a different delta
@@ -139,12 +173,8 @@ def run_incremental(
         n_partitions=n_partitions,
         input_snapshot=snap,
         n_waves=n_waves,
+        digest_path=f"{digest_path}/delta={snap}" if use_digest_table else None,
     )
-    if use_digest_table:
-        # append AFTER the delta commit (see crash-window note above)
-        new_pages.select(F.xxhash64("url").alias("url_hash")).distinct().write.mode(
-            "append"
-        ).parquet(digest_path)
     summary["n_new"] = agg["n"]
     return summary
 
@@ -160,6 +190,8 @@ def run_with_checkpoint(
     n_waves: int = 4,
     verify_readback: bool = False,
     on_progress=None,
+    digest_path: str | None = None,
+    stage_source: bool = False,
 ) -> dict:
     """Extract ``pages`` into ``output_path`` with exact resume.
 
@@ -186,9 +218,21 @@ def run_with_checkpoint(
     row, including zero-document partitions — otherwise dynamic overwrite
     writes no directory for them and resume would re-run them forever.
 
-    Scale note: each wave re-scans the source filtered by partition_id; on
-    an Iceberg corpus, persist the derived partition_id (or bucket by url)
-    so the per-wave scan prunes files instead of re-reading the table.
+    ``digest_path``: when set (the digest-table incremental mode), each
+    wave also commits its urls' 16-byte md5 digests, partitioned by
+    partition_id, BETWEEN the data write and the checkpoint-row write.
+    All three stores are idempotent dynamic partition overwrites, so the
+    ordering guarantees a partition marked completed always has both its
+    data and its digests — a crash can at worst re-run one wave in place.
+
+    ``stage_source=True`` writes the partition_id-augmented source ONCE
+    (under ``output_path/_staged_source``, todo partitions only) and runs
+    every wave off that staging: wave scans then file-prune to their own
+    partition directories instead of re-reading the full input n_waves
+    times.  Worth it when n_waves is large or the source is remote/an
+    unpartitioned table; costs one extra full write+read of the input.
+    On an Iceberg corpus, bucketing the table by url achieves the same
+    pruning with no staging copy.
     """
     run_id = run_id or uuid.uuid4().hex
 
@@ -198,6 +242,17 @@ def run_with_checkpoint(
     todo_ids = sorted(set(range(n_partitions)) - done_ids)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if stage_source and todo_ids:
+        # one pass over the source now; every wave scan below file-prunes
+        # to its own partition_id dirs (resume restages only todo dirs)
+        stage_path = f"{output_path}/_staged_source"
+        (
+            corpus.where(F.col("partition_id").isin([int(i) for i in todo_ids]))
+            .write.partitionBy("partition_id")
+            .mode("overwrite")
+            .parquet(stage_path)
+        )
+        corpus = spark.read.parquet(stage_path)
     wave_size = max(1, -(-len(todo_ids) // max(1, n_waves))) if todo_ids else 1
     for w in range(0, len(todo_ids), wave_size):
         wave_ids = todo_ids[w : w + wave_size]
@@ -240,6 +295,18 @@ def run_with_checkpoint(
             .parquet(output_path)
         )
         got = obs.get  # blocks until the write action finished
+        if digest_path is not None:
+            # digests commit AFTER the wave's data, BEFORE its checkpoint
+            # row: completed => digested.  Narrow url-only scan (column-
+            # pruned; file-pruned too under stage_source), idempotent
+            # dynamic overwrite per partition dir — a re-run wave rewrites
+            # its digests in place, never duplicates them.
+            (
+                wave.select("partition_id", url_digest_expr("url").alias("url_digest"))
+                .write.partitionBy("partition_id")
+                .mode("overwrite")
+                .parquet(digest_path)
+            )
         finished = _now()
         ckpt_rows = []  # one row per wave pid, zero-doc partitions included
         for pid in wave_ids:

@@ -174,9 +174,9 @@ def test_per_wave_progress_hook(spark, paths):
 
 
 def test_incremental_digest_table_mode(spark, paths):
-    """Digest-table incremental: second run's anti-join reads the 8-byte
-    _url_digests sidecar (never rescans the text-heavy output) and still
-    extracts exactly the delta, exactly once."""
+    """Digest-table incremental: second run's anti-join reads the 16-byte
+    md5 _url_digests sidecar (never rescans the text-heavy output) and
+    still extracts exactly the delta, exactly once."""
     import os
 
     from gonova_document_parser_spark.checkpoint import run_incremental
@@ -204,3 +204,97 @@ def test_incremental_digest_table_mode(spark, paths):
         spark, grown, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
     )
     assert s3["n_new"] == 0 and spark.read.parquet(out).count() == 80
+    # 128-bit digests (md5 -> 16-byte binary), one per output url
+    dig = spark.read.parquet(f"{out}/_url_digests")
+    assert dict(dig.dtypes)["url_digest"] == "binary"
+    assert dig.select(F.length("url_digest")).distinct().collect()[0][0] == 16
+    assert dig.select("url_digest").distinct().count() == 80
+
+
+def test_digest_mode_grown_input_after_midrun_crash(spark, paths, tmp_path):
+    """ADVICE r2 crash window: digests now commit PER WAVE (data -> digests
+    -> checkpoint row), so even when the crawl input GROWS between a
+    mid-run crash and the retry (new snapshot id), already-committed urls
+    anti-join out via their digests and are never re-extracted into the
+    new delta."""
+    import glob
+
+    from gonova_document_parser_spark.checkpoint import run_incremental
+
+    out, ckpt = paths
+    first = generate_pages(spark, 60, num_partitions=2)
+    s1 = run_incremental(
+        spark, first, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    snap = s1["run_id"]
+    # simulate dying after wave 1 of 2: partitions 2,3 lose their data,
+    # digests AND checkpoint rows (per-wave commit order means a real kill
+    # can only lose suffixes of that order)
+    kept = spark.read.parquet(ckpt).where(F.col("partition_id") < 2)
+    ckpt2 = str(tmp_path / "ckpt2")
+    kept.write.parquet(ckpt2)
+    for pid in (2, 3):
+        for p in glob.glob(f"{out}/delta={snap}/partition_id={pid}") + glob.glob(
+            f"{out}/_url_digests/delta={snap}/partition_id={pid}"
+        ):
+            shutil.rmtree(p)
+
+    grown = generate_pages(spark, 90, num_partitions=2)  # crawl grew mid-crash
+    run_incremental(
+        spark, grown, out, ckpt2, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    result = spark.read.parquet(out)
+    assert result.select("url").distinct().count() == 90
+    assert result.count() == 90  # committed urls were NOT extracted twice
+    dig = spark.read.parquet(f"{out}/_url_digests")
+    assert dig.select("url_digest").distinct().count() == 90
+
+
+def test_read_fallback_scoped_to_missing_path(spark, paths):
+    """ADVICE r2: only a MISSING output/digest path means 'first run'.  An
+    existing-but-unreadable path (here: a dir with no parquet) re-raises
+    instead of silently reprocessing the entire input into duplicates."""
+    import os
+
+    from gonova_document_parser_spark.checkpoint import run_incremental
+
+    out, ckpt = paths
+    os.makedirs(out)  # exists, but holds no readable parquet
+    pages = generate_pages(spark, 10, num_partitions=1)
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA|Unable to infer"):
+        run_incremental(spark, pages, out, ckpt, n_partitions=2, n_waves=1)
+
+
+def test_stage_source_run_and_resume(spark, paths, tmp_path):
+    """stage_source=True: waves run off a partition_id-partitioned staging
+    copy (file-pruned scans), byte-identical output, and resume restages
+    only the todo partitions."""
+    out, ckpt = paths
+    pages = generate_pages(spark, N_DOCS, num_partitions=4)
+    s1 = run_with_checkpoint(
+        spark, pages, out, ckpt, run_id="rs", n_partitions=N_PARTS, n_waves=4,
+        stage_source=True,
+    )
+    assert s1["n_docs"] == N_DOCS
+    import os
+
+    staged = f"{out}/_staged_source"
+    assert len([d for d in os.listdir(staged) if d.startswith("partition_id=")]) == N_PARTS
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    assert result.select("url").distinct().count() == N_DOCS
+
+    # crash simulation: lose partitions >= 4; resume restages ONLY those
+    kept = spark.read.parquet(ckpt).where(F.col("partition_id") < 4)
+    ckpt2 = str(tmp_path / "ckpt2")
+    kept.write.parquet(ckpt2)
+    for pid in range(4, N_PARTS):
+        shutil.rmtree(f"{out}/partition_id={pid}")
+    s2 = run_with_checkpoint(
+        spark, pages, out, ckpt2, run_id="rs", n_partitions=N_PARTS, n_waves=4,
+        stage_source=True,
+    )
+    assert s2["partitions_done_before"] == 4
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    assert result.select("url").distinct().count() == N_DOCS
