@@ -47,7 +47,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_lsh_pairs",
+    "minhash_lsh_prod",
     "simhash",
+    "simhash_prod",
     "quality_scores",
     "lang_id_counts",
     "emb_topk_cosine",
@@ -84,11 +86,34 @@ def _spark(master: str):
     return spark
 
 
+def _prod_variants() -> dict:
+    """Production xxhash64 hash variants (the 100 TB path).
+
+    queries() deliberately benches/oracles the md5 variants so DuckDB can
+    hard-verify the full pipelines; md5-per-token is the visible
+    verification tax.  These keys time the xxhash64 forms the production
+    pipeline runs, so BENCH reflects both (VERDICT r2 #3)."""
+    import __spark_entry__ as E
+    from gonova_document_parser_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        simhash64,
+    )
+
+    return {
+        "simhash_prod": lambda spark, sf: simhash64(
+            E._docs(spark, sf), hash_fn="xxhash64"
+        ),
+        "minhash_lsh_prod": lambda spark, sf: minhash_lsh_candidates(
+            E._docs(spark, sf), hash_fn="xxhash64"
+        ),
+    }
+
+
 def phase_queries() -> None:
     spark = _spark(f"local[{CPUS}]")
     import __spark_entry__ as E
 
-    qs = E.queries()
+    qs = {**E.queries(), **_prod_variants()}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
