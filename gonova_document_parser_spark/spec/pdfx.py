@@ -20,9 +20,20 @@ encoding in real-world PDFs, the reference's actual input
 of latin-1 mojibake.  String bytes fall back to latin-1 only when the
 active font has no ToUnicode map.
 
-Limits (documented spec, pinned by fixtures): only literal ``(...)`` and hex
-``<...>`` strings; no rotation (only the translation part of ``Tm`` is
-used); codes absent from a present CMap decode to U+FFFD.
+Geometry: the full text matrix (``Tm``/``Td``/``TD``/``T*`` composition)
+and the CTM (``cm`` with ``q``/``Q`` save-restore) position every item, so
+rotated text lands at its true device coordinates.  Each item's rotation is
+quantized to the nearest 90 degrees; the page's MODAL rotation un-rotates
+all items into upright reading space before line/column/block segmentation
+— a 90/180/270-rotated page reads exactly like its upright twin (pinned by
+fixtures).  This also subsumes the ``/Rotate`` page attribute for reading
+order, since /Rotate only changes display orientation, not content-space
+layout.
+
+Limits (documented spec, pinned by fixtures): only literal ``(...)``
+— with ``\\ooo`` octal and all standard escapes decoded — and hex ``<...>``
+strings; arbitrary skew/non-axis-aligned rotation quantizes to the nearest
+90 degrees; codes absent from a present CMap decode to U+FFFD.
 """
 
 from __future__ import annotations
@@ -408,10 +419,45 @@ def _tokenize_content(stream: bytes):
             i += 1
 
 
+_MAT_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """PDF matrix product m1 x m2 (m1 applied first; row-vector convention)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _mat_translate(tx: float, ty: float, m):
+    """translate(tx, ty) x m — how Td/TD/T* advance the text line matrix."""
+    return _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), m)
+
+
+def _quantized_rotation(m) -> int:
+    """Rotation of matrix ``m``'s x-axis image, snapped to 0/90/180/270."""
+    import math
+
+    deg = math.degrees(math.atan2(m[1], m[0]))
+    return int(round(deg / 90.0)) % 4 * 90
+
+
 def _items_from_stream(
     stream: bytes, fonts: dict[str, tuple[int, dict[int, str]]] | None = None
-) -> list[tuple[float, float, str]]:
-    """Interpret text operators -> [(x, y, text)] show-text items.
+) -> list[tuple[float, float, str, int]]:
+    """Interpret text operators -> [(x, y, text, rotation)] show-text items.
+
+    (x, y) is the DEVICE position of the text origin — the full text matrix
+    (Tm composed with Td/TD/T* line advances) times the CTM (``cm`` under
+    ``q``/``Q``) applied to (0, 0) — and ``rotation`` is the combined
+    matrix's angle quantized to 0/90/180/270.
 
     ``fonts``: name -> ToUnicode CMap; ``Tf`` switches the active decoding.
     Strings shown in fonts without a CMap decode latin-1 (the pre-CMap
@@ -419,64 +465,65 @@ def _items_from_stream(
     """
     fonts = fonts or {}
     cmap: tuple[int, dict[int, str]] | None = None
-    items: list[tuple[float, float, str]] = []
-    x = y = 0.0
-    line_x = line_y = 0.0
+    items: list[tuple[float, float, str, int]] = []
+    ctm = _MAT_ID
+    ctm_stack: list[tuple] = []
+    tm = tlm = _MAT_ID
     leading = 12.0
     stack: list[tuple] = []
+
+    def emit(text: str) -> None:
+        if text:
+            trm = _mat_mul(tm, ctm)
+            items.append((trm[4], trm[5], text, _quantized_rotation(trm)))
+
     for tok in _tokenize_content(stream):
         if tok[0] in ("num", "str", "arr", "name"):
             stack.append(tok)
             continue
         op = tok[1]
         if op == "BT":
-            x = y = line_x = line_y = 0.0
+            tm = tlm = _MAT_ID
+            stack.clear()
+        elif op == "q":
+            ctm_stack.append(ctm)
+            stack.clear()
+        elif op == "Q":
+            if ctm_stack:
+                ctm = ctm_stack.pop()
+            stack.clear()
+        elif op == "cm" and len(stack) >= 6:
+            ctm = _mat_mul(tuple(t[1] for t in stack[-6:]), ctm)
             stack.clear()
         elif op == "Tf" and len(stack) >= 2 and stack[-2][0] == "name":
             cmap = fonts.get(stack[-2][1])
             stack.clear()
         elif op == "Td" and len(stack) >= 2:
-            tx, ty = stack[-2][1], stack[-1][1]
-            line_x += tx
-            line_y += ty
-            x, y = line_x, line_y
+            tm = tlm = _mat_translate(stack[-2][1], stack[-1][1], tlm)
             stack.clear()
         elif op == "TD" and len(stack) >= 2:
-            tx, ty = stack[-2][1], stack[-1][1]
-            leading = -ty
-            line_x += tx
-            line_y += ty
-            x, y = line_x, line_y
+            leading = -stack[-1][1]
+            tm = tlm = _mat_translate(stack[-2][1], stack[-1][1], tlm)
             stack.clear()
         elif op == "Tm" and len(stack) >= 6:
-            line_x, line_y = stack[-2][1], stack[-1][1]
-            x, y = line_x, line_y
+            tm = tlm = tuple(t[1] for t in stack[-6:])
             stack.clear()
         elif op == "T*":
-            line_y -= leading
-            x, y = line_x, line_y
+            tm = tlm = _mat_translate(0.0, -leading, tlm)
             stack.clear()
         elif op == "TL" and stack:
             leading = stack[-1][1]
             stack.clear()
         elif op == "Tj" and stack and stack[-1][0] == "str":
-            text = _decode_string(stack[-1][1], cmap)
-            if text:
-                items.append((x, y, text))
+            emit(_decode_string(stack[-1][1], cmap))
             stack.clear()
         elif op == "'" and stack and stack[-1][0] == "str":
-            line_y -= leading
-            x, y = line_x, line_y
-            text = _decode_string(stack[-1][1], cmap)
-            if text:
-                items.append((x, y, text))
+            tm = tlm = _mat_translate(0.0, -leading, tlm)
+            emit(_decode_string(stack[-1][1], cmap))
             stack.clear()
         elif op == '"' and stack and stack[-1][0] == "str":
-            line_y -= leading
-            x, y = line_x, line_y
-            text = _decode_string(stack[-1][1], cmap)
-            if text:
-                items.append((x, y, text))
+            tm = tlm = _mat_translate(0.0, -leading, tlm)
+            emit(_decode_string(stack[-1][1], cmap))
             stack.clear()
         elif op == "TJ" and stack and stack[-1][0] == "arr":
             parts = []
@@ -485,15 +532,38 @@ def _items_from_stream(
                     parts.append(_decode_string(t[1], cmap))
                 elif t[0] == "num" and t[1] <= TJ_SPACE_THRESHOLD:
                     parts.append(" ")  # kerned word gap -> space
-            text = "".join(parts)
-            if text:
-                items.append((x, y, text))
+            emit("".join(parts))
             stack.clear()
         elif op == "ET":
             stack.clear()
         else:
             stack.clear()
     return items
+
+
+def _unrotate_items(
+    items: list[tuple[float, float, str, int]],
+) -> list[tuple[float, float, str]]:
+    """Rotate all items into upright reading space by the page's MODAL
+    rotation (ties break toward the smaller angle), dropping the rot tag.
+
+    One shared rotation — not per-item — so the relative layout of any
+    odd-rotated watermark/margin item is preserved rather than woven into
+    the body text at a fake position.
+    """
+    if not items:
+        return []
+    counts: dict[int, int] = {}
+    for *_, rot in items:
+        counts[rot] = counts.get(rot, 0) + 1
+    modal = max(counts, key=lambda r: (counts[r], -r))
+    if modal == 0:
+        return [(x, y, t) for x, y, t, _ in items]
+    if modal == 90:
+        return [(y, -x, t) for x, y, t, _ in items]
+    if modal == 180:
+        return [(-x, -y, t) for x, y, t, _ in items]
+    return [(-y, x, t) for x, y, t, _ in items]  # 270
 
 
 def _items_to_lines(items: list[tuple[float, float, str]]):
@@ -581,7 +651,7 @@ def parse_pdf(data: bytes) -> tuple[list[list[tuple[str, str]]], int]:
     pages: list[list[tuple[str, str]]] = []
     total_chars = 0
     for stream, fonts in _page_streams_with_fonts(data):
-        items = _items_from_stream(stream, fonts)
+        items = _unrotate_items(_items_from_stream(stream, fonts))
         total_chars += sum(len(t.strip()) for _, _, t in items)
         page_blocks: list[tuple[str, str]] = []
         for column_items in _split_columns(items):
@@ -601,6 +671,6 @@ def pdf_text_len(data: bytes) -> int:
     """Total extractable text-layer characters (classifier's 50-char rule)."""
     total = 0
     for stream, fonts in _page_streams_with_fonts(data):
-        for _, _, text in _items_from_stream(stream, fonts):
+        for _, _, text, _ in _items_from_stream(stream, fonts):
             total += len(text.strip())
     return total

@@ -106,6 +106,66 @@ def test_string_escapes_and_hex():
     assert pages[0][0][1] == "Hello"
 
 
+def test_octal_escapes_in_content_stream():
+    content = rb"BT 1 0 0 1 50 700 Tm (octal \101\102\103\040mix) Tj ET"
+    pages = extract_pdf_pages(_doc([content]))
+    assert pages[0][0][1] == "octal ABC mix"
+
+
+UPRIGHT_EXPECT = [("block", "line one\nline two"), ("block", "new block")]
+
+
+def test_rotated_page_90_reads_like_upright():
+    """90-degree CCW text matrix: device coords are R(90) of reading coords;
+    modal un-rotation restores the upright line/block segmentation."""
+    content = (
+        b"BT 0 1 -1 0 -760 50 Tm (line one) Tj ET\n"
+        b"BT 0 1 -1 0 -746 50 Tm (line two) Tj ET\n"
+        b"BT 0 1 -1 0 -700 50 Tm (new block) Tj ET\n"
+    )
+    assert extract_pdf_pages(_doc([content]))[0] == UPRIGHT_EXPECT
+
+
+def test_rotated_page_180_reads_like_upright():
+    content = (
+        b"BT -1 0 0 -1 -50 -760 Tm (line one) Tj ET\n"
+        b"BT -1 0 0 -1 -50 -746 Tm (line two) Tj ET\n"
+        b"BT -1 0 0 -1 -50 -700 Tm (new block) Tj ET\n"
+    )
+    assert extract_pdf_pages(_doc([content]))[0] == UPRIGHT_EXPECT
+
+
+def test_rotated_page_270_reads_like_upright():
+    content = (
+        b"BT 0 -1 1 0 760 -50 Tm (line one) Tj ET\n"
+        b"BT 0 -1 1 0 746 -50 Tm (line two) Tj ET\n"
+        b"BT 0 -1 1 0 700 -50 Tm (new block) Tj ET\n"
+    )
+    assert extract_pdf_pages(_doc([content]))[0] == UPRIGHT_EXPECT
+
+
+def test_cm_rotation_with_q_restore():
+    """Rotation supplied by the CTM (cm under q/Q) instead of Tm: text keeps
+    upright coordinates, the CTM rotates the whole page; Td composes under
+    the rotated matrix."""
+    content = (
+        b"q 0 1 -1 0 0 0 cm\n"
+        b"BT 1 0 0 1 50 760 Td (line one) Tj ET\n"
+        b"BT 1 0 0 1 50 746 Td (line two) Tj ET\n"
+        b"BT 1 0 0 1 50 700 Td (new block) Tj ET\n"
+        b"Q\n"
+    )
+    assert extract_pdf_pages(_doc([content]))[0] == UPRIGHT_EXPECT
+
+
+def test_tstar_advances_under_rotated_tm():
+    """T* line advances happen in TEXT space: under a rotated Tm the next
+    line still lands one leading below in reading space."""
+    content = b"BT 14 TL 0 1 -1 0 -760 50 Tm (line one) Tj T* (line two) Tj ET"
+    pages = extract_pdf_pages(_doc([content]))
+    assert pages[0][0][1] == "line one\nline two"
+
+
 def test_text_layer_len_threshold():
     short = b"BT 1 0 0 1 50 700 Tm (tiny) Tj ET"
     assert pdf_text_len(_doc([short])) == 4
