@@ -1,6 +1,10 @@
-"""WARC source: record parse round-trip + Spark fan-out + extraction."""
+"""WARC source: record parse round-trip + Spark fan-out + extraction,
+plus the committed Common-Crawl-layout fixture (charset/tag-soup/rotated-PDF
+real-world constructs the synthetic generators can't invent)."""
 
 import gzip
+import hashlib
+import pathlib
 
 from gonova_document_parser_spark.corpus import make_page
 from gonova_document_parser_spark.operators.extract import extract_pages
@@ -52,3 +56,63 @@ def test_read_warc_spark_and_extract(spark, tmp_path):
     for i in range(24):
         p = make_page(i)
         assert got[p["url"]] == extract_document(p["html"])["extracted_text"]
+
+
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "cc_sample.warc.gz"
+
+
+def test_cc_fixture_bytes_pinned():
+    """The committed fixture is byte-pinned; regenerate with
+    tests/fixtures/make_cc_sample.py (deterministic, gzip mtime=0)."""
+    h = hashlib.sha256(FIXTURE.read_bytes()).hexdigest()
+    assert h == "7273fb130b82467373ab8d1a6cff2e1b2d95be914bc37d3a3526e83a35e153f7"
+
+
+def test_cc_fixture_layout_parses():
+    """Member-per-record gzip (real CC layout): 8 responses come back;
+    warcinfo and request records are skipped."""
+    recs = list(iter_warc_records(FIXTURE.read_bytes()))
+    assert len(recs) == 8
+    assert all(r["warc_ts"] is not None for r in recs)
+    assert "https://docs.example.com/rotated.pdf" in [r["url"] for r in recs]
+
+
+def test_cc_fixture_extraction_deterministic_and_bounded(spark):
+    """Real-world constructs through the full Spark path: declared legacy
+    charsets decode, raw-text traps don't leak, the rotated+octal PDF
+    extracts upright, extraction hashes are stable across two runs, and
+    error rows are exactly the two deliberate junk responses."""
+    pages = read_warc(spark, str(FIXTURE.parent))
+
+    def run():
+        rows = sorted(
+            (r["url"], r["extracted_text"], r["success"])
+            for r in extract_pages(pages).collect()
+        )
+        return rows, hashlib.sha256(repr(rows).encode()).hexdigest()
+
+    rows1, h1 = run()
+    rows2, h2 = run()
+    assert h1 == h2  # deterministic across runs
+    by_url = {u: (t, s) for u, t, s in rows1}
+    assert len(by_url) == 8
+    # charset paths: ISO-8859-1 meta, windows-1252 meta, UTF-8 BOM
+    assert "pâtissier têtu" in by_url["https://cafe.example.fr/"][0]
+    assert "“Smart quotes”" in by_url["https://news.example.com/quotes"][0]
+    assert "東京ガイド" in by_url["https://tokyo.example.jp/guide"][0]
+    # raw-text traps: nothing from <script>/<style> strings leaks
+    trap = by_url["https://trap.example.com/js"][0]
+    assert "not content" not in trap and "Visible article text" in trap
+    # entities normalize into prose
+    assert "café serves espresso" in by_url["https://legacy.example.org/entities"][0]
+    # the application/pdf response: rotated text matrix + octal escape, read
+    # upright through the text-layer path
+    assert by_url["https://docs.example.com/rotated.pdf"][0].endswith(
+        "Rotated Archive page with a text layer\n"
+        "second rotated line clears the 50-char rule"
+    )
+    errs = sorted(u for u, (t, s) in by_url.items() if not s)
+    assert errs == [
+        "https://broken.example.net/truncated",
+        "https://empty.example.net/nobody",
+    ]
