@@ -1260,7 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # -- full minhash+banding pipeline, md5 variant: shingles -> per-i
         #    minima -> band hash (md5 of comma-joined sig decimals) -> pairs
-        "minhash_lsh_pairs": """
+        "minhash_lsh_pairs": r"""
             WITH words AS (
                 SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
                 FROM documents),

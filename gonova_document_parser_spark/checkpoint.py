@@ -244,10 +244,14 @@ def run_with_checkpoint(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if stage_source and todo_ids:
         # one pass over the source now; every wave scan below file-prunes
-        # to its own partition_id dirs (resume restages only todo dirs)
+        # to its own partition_id dirs (resume restages only todo dirs).
+        # repartition BY partition_id first: without it every source scan
+        # task writes a file into every partition dir (n_dirs x n_tasks
+        # small-files explosion); with it each dir gets exactly one file.
         stage_path = f"{output_path}/_staged_source"
         (
             corpus.where(F.col("partition_id").isin([int(i) for i in todo_ids]))
+            .repartition(len(todo_ids), F.col("partition_id"))
             .write.partitionBy("partition_id")
             .mode("overwrite")
             .parquet(stage_path)

@@ -3,14 +3,16 @@
 Usage:
   spark-submit --py-files gonova.zip jobs/extract_job.py \
       <pages_parquet_or_table> <output_path> <checkpoint_path> \
-      [run_id] [n_partitions] [n_waves] [--verify] [--stage-source]
+      [run_id] [n_partitions] [n_waves] [--verify] [--stage-source] [--digests]
 
 ``n_waves`` sets commit granularity (fewer waves = faster, larger at-risk
 window on a kill); ``--verify`` re-reads each written wave and asserts the
 observed metrics match (audit mode, 2x read cost); ``--stage-source``
 writes the partition_id-augmented source once so each wave's scan
 file-prunes instead of re-reading the full input (pays off as n_waves
-grows or when the source is remote).
+grows or when the source is remote); ``--digests`` commits the 16-byte
+md5 url-digest sidecar per wave (what run_incremental's digest-table
+mode rides on).
 
 Resumable: re-running with the same run_id skips completed partitions
 (see gonova_document_parser_spark.checkpoint for the protocol).
@@ -29,7 +31,8 @@ from gonova_document_parser_spark.sources import read_pages
 def main(argv: list[str]) -> None:
     verify = "--verify" in argv
     stage = "--stage-source" in argv
-    argv = [a for a in argv if a not in ("--verify", "--stage-source")]
+    digests = "--digests" in argv
+    argv = [a for a in argv if a not in ("--verify", "--stage-source", "--digests")]
     source, output, ckpt = argv[0], argv[1], argv[2]
     run_id = argv[3] if len(argv) > 3 else "run-default"
     n_partitions = int(argv[4]) if len(argv) > 4 else 64
@@ -48,6 +51,7 @@ def main(argv: list[str]) -> None:
         n_waves=n_waves,
         verify_readback=verify,
         stage_source=stage,
+        digest_path=f"{output}/_url_digests" if digests else None,
         # live per-wave progress (Q5): one JSON line per commit
         on_progress=lambda p: print(json.dumps({"progress": p}), flush=True),
     )
