@@ -294,10 +294,12 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
-    # md5-hash variant: DuckDB reproduces shingle -> 32 minhashes -> band
-    # hashes -> bucket-join candidates bit-for-bit (hard oracle row); the
-    # xxhash64 production variant is exercised by minhash_lsh_verified
-    return minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5").orderBy(
+    # affine-hash variant: DuckDB reproduces shingle -> one md5 -> 32
+    # affine minhashes (mod 2^31-1) -> band hashes -> bucket-join
+    # candidates bit-for-bit (hard oracle row) at ~32x fewer md5 calls
+    # than the r2 md5-per-i variant; the xxhash64 production variant is
+    # exercised by minhash_lsh_verified and benched as minhash_lsh_prod
+    return minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="affine").orderBy(
         "id_a", "id_b"
     )
 
@@ -726,6 +728,16 @@ _LANG_HITS = {
     for lang in ("en", "fr", "es", "de")
 }
 
+
+
+def _affine_values(num_hashes: int = 32) -> str:
+    """Inline VALUES rows (i, a, b) of the affine minhash family."""
+    from gonova_document_parser_spark.functions.dedup import _affine_params
+
+    return ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
+    )
 
 
 def _quant_planes_values(dim: int = 64, n_tables: int = 16, n_planes: int = 4) -> str:
@@ -1258,9 +1270,10 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        # -- full minhash+banding pipeline, md5 variant: shingles -> per-i
-        #    minima -> band hash (md5 of comma-joined sig decimals) -> pairs
-        "minhash_lsh_pairs": r"""
+        # -- full minhash+banding pipeline, affine variant: shingles -> ONE
+        #    md5 -> 32 affine minhashes mod 2^31-1 (exact integer math both
+        #    engines) -> band hash (md5 of comma-joined sig decimals) -> pairs
+        "minhash_lsh_pairs": rf"""
             WITH words AS (
                 SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
                 FROM documents),
@@ -1268,12 +1281,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
                 FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
                 WHERE len(w) >= 3),
+            sh AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                         % 2147483647 AS h0
+                FROM sh0),
+            params(i, a, b) AS (VALUES {_affine_values()}),
             sigs AS (
-                SELECT doc_id, t.i,
-                       MIN(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || shingle),
-                                           1, 15))::BIGINT) AS sig
-                FROM sh0, UNNEST(generate_series(0, 31)) AS t(i)
-                GROUP BY doc_id, t.i),
+                SELECT doc_id, p.i, MIN((p.a * h0 + p.b) % 2147483647) AS sig
+                FROM sh, params p GROUP BY doc_id, p.i),
             bands AS (
                 SELECT doc_id, i // 4 AS band_id,
                        md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i))

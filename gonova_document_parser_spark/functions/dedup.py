@@ -138,6 +138,28 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE31 = (1 << 31) - 1  # prime modulus of the affine hash family
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) of the classic universal family
+    h_i(x) = (a*x + b) mod p, a in [1, p-1], b in [0, p-1] — splitmix of i."""
+    def mix(v: int) -> int:
+        v = (v * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        v ^= v >> 31
+        return v
+
+    a = mix(2 * i) % (_MERSENNE31 - 1) + 1
+    b = mix(2 * i + 1) % _MERSENNE31
+    return a, b
+
+
+def _md5_low60(col) -> "F.Column":
+    """Low 60 bits of md5(col) as BIGINT — DuckDB-reproducible:
+    ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _minhash_hash(i: int, hash_fn: str):
     if hash_fn == "md5":
         # low 60 bits of md5("{i}:{shingle}") — DuckDB-reproducible
@@ -148,6 +170,15 @@ def _minhash_hash(i: int, hash_fn: str):
             16,
             10,
         ).cast("bigint")
+    if hash_fn == "affine":
+        # ONE md5 per shingle (materialized as h0 by the caller), then a
+        # per-i affine transform (a_i*h0 + b_i) mod (2^31-1): the textbook
+        # universal minhash family, exact 63-bit-safe integer math both
+        # engines (products < 2^62 — DuckDB BIGINT never overflows).
+        # ~num_hashes x fewer md5 evaluations than the "md5" variant at the
+        # same hard-oracle strength.
+        a, b = _affine_params(i)
+        return (F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(_MERSENNE31)
     return F.xxhash64(F.lit(i), F.col("shingle"))
 
 
@@ -164,10 +195,16 @@ def minhash_signatures(
     ``num_hashes`` minima (single shuffle; map-side partial min —
     duplicate shingles can't change a min, so no dedup pass).
 
-    ``hash_fn``: ``"xxhash64"`` (default, fastest — the 100 TB path) or
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — the 100 TB path),
     ``"md5"`` (DuckDB reproduces it bit-for-bit, enabling a hard oracle on
-    the whole minhash+banding pipeline)."""
+    the whole minhash+banding pipeline), or ``"affine"`` (same hard-oracle
+    strength at ~num_hashes x fewer md5 calls: one md5 per shingle feeds
+    num_hashes affine transforms mod 2^31-1)."""
     sh = shingles(df, id_col, text_col, n, distinct=False)
+    if hash_fn == "affine":
+        # materialize h0 BEFORE the aggregate: the 32 min() inputs then
+        # share one md5 evaluation instead of recomputing it per aggregate
+        sh = sh.withColumn("h0", _md5_low60(F.col("shingle")) % F.lit(_MERSENNE31))
     aggs = [
         F.min(_minhash_hash(i, hash_fn)).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -199,7 +236,7 @@ def minhash_lsh_candidates(
 
     def band_hash(b: int):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_fn == "md5":
+        if hash_fn in ("md5", "affine"):
             return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
         return F.xxhash64(*cols)
 

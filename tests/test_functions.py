@@ -64,6 +64,30 @@ def test_minhash_lsh_candidates_superset_of_high_jaccard(docs):
     assert exact <= cands  # identical-signature pairs always collide
 
 
+def test_minhash_affine_variant_valid_and_deterministic(docs):
+    """Affine variant (one md5 -> 32 affine transforms mod 2^31-1): a real
+    minhash family — identical docs share every signature, candidates cover
+    the high-Jaccard pairs, values stay in [0, 2^31-1), runs reproduce."""
+    from gonova_document_parser_spark.functions.dedup import minhash_signatures
+
+    sig = minhash_signatures(docs, hash_fn="affine")
+    rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(32)] for r in sig.collect()}
+    assert rows[0] == rows[1] == rows[4]  # identical texts -> identical sigs
+    assert all(0 <= v < (1 << 31) - 1 for vs in rows.values() for v in vs)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, hash_fn="affine").collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact <= cands
+    again = {r["doc_id"]: [r[f"sig_{i}"] for i in range(32)]
+             for r in minhash_signatures(docs, hash_fn="affine").collect()}
+    assert rows == again
+
+
 def test_simhash_identity_and_distance(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
     assert sh[0] == sh[1] == sh[4]  # identical token multisets
