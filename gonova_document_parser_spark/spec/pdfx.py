@@ -30,10 +30,19 @@ fixtures).  This also subsumes the ``/Rotate`` page attribute for reading
 order, since /Rotate only changes display orientation, not content-space
 layout.
 
+Object model: brute-force obj/endobj scan plus /ObjStm object-stream
+unpacking (the PDF 1.5+ layout), so xref tables and xref streams are never
+needed.  Inline images (``BI ... ID <binary> EI``) are skipped as raw
+bytes, not tokenized.  Encrypted files (``/Encrypt`` in the trailer) have
+no readable text layer and deterministically report 0 chars — the 50-char
+rule then routes them to the scanned/OCR path, matching the reference's
+OCR-first handling.
+
 Limits (documented spec, pinned by fixtures): only literal ``(...)``
 — with ``\\ooo`` octal and all standard escapes decoded — and hex ``<...>``
 strings; arbitrary skew/non-axis-aligned rotation quantizes to the nearest
-90 degrees; codes absent from a present CMap decode to U+FFFD.
+90 degrees; codes absent from a present CMap decode to U+FFFD; encrypted
+documents are never decrypted (routed to OCR instead).
 """
 
 from __future__ import annotations
@@ -50,6 +59,8 @@ COLUMN_GAP = 100.0  # x-gap between line starts that splits columns
 TJ_SPACE_THRESHOLD = -180.0  # offset <= this emits one space (pinned spec)
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+# /Encrypt in the trailer dict (an indirect ref) marks an encrypted file
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
@@ -57,8 +68,38 @@ _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
 def _scan_objects(data: bytes) -> dict[int, bytes]:
-    """Object number -> raw object body (brute-force scan; no xref needed)."""
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    """Object number -> raw object body (brute-force scan; no xref needed).
+
+    Objects packed inside /ObjStm object streams (the PDF 1.5+ layout most
+    modern writers emit) are unpacked too: each stream's header is N
+    (objnum, offset) pairs relative to /First, followed by the bodies with
+    no obj/endobj wrappers.  Direct objects win on number collision (a
+    conforming file never has both live)."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    packed: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        if b"/ObjStm" not in body:
+            continue
+        stream = _stream_bytes(body)
+        if stream is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        if nm is None or fm is None:
+            continue
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        header = stream[:first].split()
+        if len(header) < 2 * n_objs:
+            continue
+        pairs = [
+            (int(header[2 * k]), int(header[2 * k + 1])) for k in range(n_objs)
+        ]
+        for k, (num, off) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < n_objs else len(stream)
+            packed[num] = stream[first + off : end]
+    for num, body in packed.items():
+        objs.setdefault(num, body)
+    return objs
 
 
 def _stream_bytes(body: bytes) -> bytes | None:
@@ -413,7 +454,16 @@ def _tokenize_content(stream: bytes):
             continue
         m = _OP_RE.match(stream, i)
         if m is not None:
-            yield ("op", m.group(0).decode("latin-1"))
+            op = m.group(0)
+            if op == b"BI":  # inline image: skip params + RAW BINARY to EI
+                # the image bytes after ID are arbitrary binary — walking
+                # them as tokens would fabricate garbage ops/strings
+                idm = re.compile(rb"\bID[\r\n ]").search(stream, m.end())
+                scan_from = idm.end() if idm else m.end()
+                eim = re.compile(rb"[\r\n ]EI(?=[\s]|$)").search(stream, scan_from)
+                i = eim.end() if eim else n
+                continue
+            yield ("op", op.decode("latin-1"))
             i = m.end()
         else:
             i += 1
@@ -648,6 +698,12 @@ def parse_pdf(data: bytes) -> tuple[list[list[tuple[str, str]]], int]:
     blocks come from — classify+extract share one parse (the reference's
     single-pass rule, ``OPTIMIZATIONS.md:5-11``).
     """
+    if _ENCRYPT_RE.search(data) is not None:
+        # encrypted document: streams/strings are RC4/AES ciphertext — there
+        # is no readable text layer, so report 0 chars and let the 50-char
+        # rule route the document to the scanned/OCR path deterministically
+        # (what the reference's OCR-first pipeline would do with it)
+        return [], 0
     pages: list[list[tuple[str, str]]] = []
     total_chars = 0
     for stream, fonts in _page_streams_with_fonts(data):
@@ -669,6 +725,8 @@ def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
 
 def pdf_text_len(data: bytes) -> int:
     """Total extractable text-layer characters (classifier's 50-char rule)."""
+    if _ENCRYPT_RE.search(data) is not None:
+        return 0  # ciphertext streams: no readable text layer (see parse_pdf)
     total = 0
     for stream, fonts in _page_streams_with_fonts(data):
         for _, _, text, _ in _items_from_stream(stream, fonts):

@@ -166,6 +166,70 @@ def test_tstar_advances_under_rotated_tm():
     assert pages[0][0][1] == "line one\nline two"
 
 
+def test_objstm_packed_objects_are_unpacked():
+    """PDF 1.5+ object streams: the catalog/pages/page objects live inside
+    a /ObjStm compressed stream (no obj/endobj wrappers); the content
+    stream stays a direct object."""
+    inner = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+    }
+    bodies, header = [], []
+    off = 0
+    for num, b in inner.items():
+        header.append(b"%d %d" % (num, off))
+        bodies.append(b)
+        off += len(b) + 1
+    head = b" ".join(header) + b"\n"
+    payload = head + b"\n".join(bodies) + b"\n"
+    comp = zlib.compress(payload)
+    content = b"BT 1 0 0 1 50 700 Tm (from an object stream) Tj ET"
+    objs = {
+        4: b"<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (len(head), len(comp))
+        + comp
+        + b"\nendstream",
+        5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+    }
+    pages = extract_pdf_pages(_pdf(objs))
+    assert pages[0][0][1] == "from an object stream"
+
+
+def test_inline_image_binary_is_skipped():
+    """BI..EI inline image: the raw binary between ID and EI must not be
+    tokenized (it contains bytes that look like ops, parens and numbers)."""
+    junk = b"\x00\x89PNG(fake \xff\xfe Tj ET BT 9 9 Td (ghost) Tj"  # hostile
+    content = (
+        b"BT 1 0 0 1 50 760 Tm (before image) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /RGB ID " + junk + b" EI\n"
+        b"BT 1 0 0 1 50 700 Tm (after image) Tj ET\n"
+    )
+    pages = extract_pdf_pages(_doc([content]))
+    texts = [t for _, t in pages[0]]
+    assert any("before image" in t for t in texts)
+    assert any("after image" in t for t in texts)
+    assert not any("ghost" in t for t in texts)
+
+
+def test_encrypted_pdf_routes_to_scanned():
+    """/Encrypt in the trailer: streams are ciphertext, so the text layer
+    reports 0 chars and the 50-char rule routes the doc to the OCR path."""
+    content = b"BT 1 0 0 1 50 700 Tm (this text would be ciphertext) Tj ET"
+    data = _doc([content])
+    enc = data.replace(
+        b"%%EOF", b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF"
+    )
+    assert pdf_text_len(enc) == 0
+    assert extract_pdf_pages(enc) == []
+    from gonova_document_parser_spark.spec import extract_document
+
+    r = extract_document(enc)
+    assert r["page_type"] == "scanned" and r["success"] is False
+    # unencrypted twin still extracts
+    assert pdf_text_len(data) > 0
+
+
 def test_text_layer_len_threshold():
     short = b"BT 1 0 0 1 50 700 Tm (tiny) Tj ET"
     assert pdf_text_len(_doc([short])) == 4
