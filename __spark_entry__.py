@@ -385,6 +385,21 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh_quantized(emb, q, dim=len(q), k=10, n_tables=16, n_planes=4)
 
 
+def _q_emb_neardups_lsh(spark, sf_dir):
+    """Embedding near-dup pairs at scale: quantized-LSH bucket equi-join ->
+    exact cosine verify.  Deterministic duplicates (vec_id < 50 copied at
+    +1,000,000) guarantee the operator has true positives to find; bucket
+    bits are exact integer math, so the candidate set AND the verified
+    pairs are bit-reproducible in DuckDB (hard oracle)."""
+    from gonova_document_parser_spark.functions.similarity import emb_neardups_lsh
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return emb_neardups_lsh(emb.unionByName(dup), dim=64, threshold=0.99)
+
+
 def _q_result_lookup(spark, sf_dir):
     # K4 result endpoint analog: point lookup is a predicate-pushed scan
     d = _docs(spark, sf_dir)
@@ -694,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_counts": _q_salted_counts,
         "emb_topk_cosine": _q_emb_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "emb_neardups_lsh": _q_emb_neardups_lsh,
         "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "graph_nodes": _q_graph_nodes,
@@ -1098,6 +1114,40 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings e JOIN cands USING (vec_id)
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # -- embedding near-dups: quantized buckets (4 tables x 16 planes,
+        #    exact integer math) -> pair equi-join -> exact cosine verify;
+        #    deterministic +1e6 duplicates provide the true positives
+        "emb_neardups_lsh": f"""
+            WITH emb2 AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 50),
+            planes(t, p, comps) AS (
+                VALUES {_quant_planes_values(64, 4, 16)}),
+            vb AS (
+                SELECT e.vec_id, pl.t,
+                       SUM(CASE WHEN list_dot_product(
+                                  list_transform(e.embedding::DOUBLE[],
+                                                 x -> ROUND(x * 1000)),
+                                  pl.comps::DOUBLE[]) >= 0
+                                THEN (1 << pl.p) ELSE 0 END) AS bucket
+                FROM emb2 e, planes pl GROUP BY e.vec_id, pl.t),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM vb a
+                JOIN vb b ON a.t = b.t AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id)
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]),
+                         4)::DOUBLE AS cosine
+            FROM cand c
+            JOIN emb2 ea ON ea.vec_id = c.id_a
+            JOIN emb2 eb ON eb.vec_id = c.id_b
+            WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]) >= 0.99
         """,
         # -- THE FLAGSHIP ORACLE: the page render (corpus.doc_to_page) and the
         #    extractor (spec/) are both deterministic pure functions of

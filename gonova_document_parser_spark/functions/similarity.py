@@ -254,6 +254,72 @@ def quantized_lsh_buckets(
     return b.select(id_col, F.posexplode("bks").alias("table_id", "bucket"))
 
 
+def quantized_lsh_candidates(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Candidate pairs sharing a quantized-LSH bucket in any table.
+
+    The scale path for embedding near-dup detection: an equi-join on
+    (table_id, bucket) replaces the O(n²) cross join, and because bucket
+    bits come from exact integer math the candidate set is
+    engine-reproducible (hard-oracle-able), unlike float hyperplanes.
+    Default 16 planes/table -> 65,536 buckets: expected occupancy n/65536
+    keeps the per-bucket pair expansion tiny at corpus scale."""
+    b = quantized_lsh_buckets(df, dim, n_tables, n_planes, seed, id_col, vec_col, scale)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def emb_neardups_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: quantized-LSH candidates -> exact
+    cosine verify (>= threshold), 4dp-rounded.
+
+    The embedding-space sibling of ``minhash_lsh_verified``: candidates
+    come from bucket equi-joins (never all-pairs), every surviving pair is
+    exactly verified, and both stages are bit-reproducible across engines.
+    Near-identical vectors agree on every sign bit, so true near-dups share
+    all their buckets — recall at high thresholds is structural, not
+    probabilistic."""
+    cands = quantized_lsh_candidates(
+        df, dim, n_tables, n_planes, seed, id_col, vec_col, scale
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
 def ann_topk_lsh_quantized(
     df: DataFrame,
     query_vec: list[float],

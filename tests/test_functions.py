@@ -249,6 +249,26 @@ def test_ivf_materialize_probe(spark, tmp_path):
     assert n_cells_written > 3  # index actually has more cells than probed
 
 
+def test_emb_neardups_lsh_finds_planted_dups(spark):
+    """Quantized-LSH near-dup pairs: planted exact duplicates are all found
+    (they share every bucket — structural recall), verified cosine is 1.0,
+    and no random pair clears the 0.99 threshold."""
+    from pyspark.sql import functions as F
+
+    from gonova_document_parser_spark.functions.similarity import emb_neardups_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = emb_neardups_lsh(emb.unionByName(dup), dim=64, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    assert set(got) == {(i, i + 1000000) for i in range(20)}
+    assert all(c == 1.0 for c in got.values())
+
+
 def test_ivf_index_path_keyed_by_content(tmp_path):
     """The materialized-index path is a function of the embeddings CONTENT:
     identical corpora share one index; mutating a single embedding value
