@@ -385,6 +385,40 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh_quantized(emb, q, dim=len(q), k=10, n_tables=16, n_planes=4)
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """Per-language BPE-ish token budget (GPT-2-style pre-tokenizer regex,
+    RE2-safe so DuckDB runs the identical pattern)."""
+    from gonova_document_parser_spark.functions.textstats import bpe_token_count_expr
+    from gonova_document_parser_spark.plans.partitioning import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))  # heavy per-row regex over 1-file scan
+    return d.groupBy("lang").agg(
+        F.sum(bpe_token_count_expr("text")).alias("total_bpe"),
+        F.round(F.avg(bpe_token_count_expr("text")), 6).alias("avg_bpe"),
+    )
+
+
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-rule curation gate: per-doc booleans for the word-count,
+    mean-word-length, symbol-ratio, and alpha-word rules plus the combined
+    keep decision — every comparison is integer-count arithmetic, so the
+    booleans are engine-exact."""
+    from gonova_document_parser_spark.functions.textstats import gopher_flags
+    from gonova_document_parser_spark.plans.partitioning import fan_out
+
+    d = fan_out(_docs(spark, sf_dir))
+    f = gopher_flags("text")
+    return d.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["flag_word_count"].alias("flag_word_count"),
+        f["flag_mean_word_len"].alias("flag_mean_word_len"),
+        f["flag_symbol_ratio"].alias("flag_symbol_ratio"),
+        f["flag_alpha_words"].alias("flag_alpha_words"),
+        f["keep"].alias("keep"),
+    )
+
+
 def _q_emb_neardups_lsh(spark, sf_dir):
     """Embedding near-dup pairs at scale: quantized-LSH bucket equi-join ->
     exact cosine verify.  Deterministic duplicates (vec_id < 50 copied at
@@ -710,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": _q_emb_topk_cosine,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "emb_neardups_lsh": _q_emb_neardups_lsh,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "gopher_filter": _q_gopher_filter,
         "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "graph_nodes": _q_graph_nodes,
@@ -744,6 +780,15 @@ _LANG_HITS = {
     for lang in ("en", "fr", "es", "de")
 }
 
+
+
+def _bpe_sql_pattern() -> str:
+    from gonova_document_parser_spark.functions.textstats import BPE_TOKEN_RE
+
+    return BPE_TOKEN_RE.replace("'", "''")
+
+
+_BPE_SQL = _bpe_sql_pattern()
 
 
 def _affine_values(num_hashes: int = 32) -> str:
@@ -1114,6 +1159,47 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings e JOIN cands USING (vec_id)
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # -- BPE-ish token budget: identical RE2-safe GPT-2-style pattern
+        #    (single quotes doubled for SQL)
+        "bpe_token_stats": """
+            SELECT lang,
+                   SUM(len(regexp_extract_all(text,
+                       '{bpe}')))::BIGINT AS total_bpe,
+                   ROUND(AVG(len(regexp_extract_all(text,
+                       '{bpe}'))), 6)::DOUBLE AS avg_bpe
+            FROM documents GROUP BY lang
+        """.replace("{bpe}", _BPE_SQL),
+        # -- Gopher curation gate: integer-count comparisons, engine-exact
+        "gopher_filter": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_words,
+                       len(regexp_replace(text, '\s', '', 'g')) AS nwchars,
+                       len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       w -> regexp_matches(w, '\p{L}'))) AS alpha
+                FROM documents)
+            SELECT doc_id, n_words,
+                   (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+                   COALESCE(nwchars * 1.0 / NULLIF(n_words, 0) >= 3.0
+                            AND nwchars * 1.0 / NULLIF(n_words, 0) <= 10.0,
+                            FALSE) AS flag_mean_word_len,
+                   COALESCE(symbols * 1.0 / NULLIF(n_words, 0) <= 0.1,
+                            FALSE) AS flag_symbol_ratio,
+                   COALESCE(alpha * 1.0 / NULLIF(n_words, 0) >= 0.8,
+                            FALSE) AS flag_alpha_words,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND COALESCE(nwchars * 1.0 / NULLIF(n_words, 0) >= 3.0
+                                 AND nwchars * 1.0 / NULLIF(n_words, 0) <= 10.0,
+                                 FALSE)
+                    AND COALESCE(symbols * 1.0 / NULLIF(n_words, 0) <= 0.1,
+                                 FALSE)
+                    AND COALESCE(alpha * 1.0 / NULLIF(n_words, 0) >= 0.8,
+                                 FALSE)) AS keep
+            FROM d
         """,
         # -- embedding near-dups: quantized buckets (4 tables x 16 planes,
         #    exact integer math) -> pair equi-join -> exact cosine verify;

@@ -40,6 +40,23 @@ def word_token_count_expr(col: str | Column = "text") -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"([a-z0-9]+|[^\sa-z0-9])"), 1))
 
 
+# GPT-2-style pre-tokenizer, RE2-safe subset: contraction suffixes, then
+# space-prefixed letter runs, digit runs, punct runs, then bare whitespace.
+# (The original's trailing-space lookahead is dropped — RE2 has no
+# lookahead, and DuckDB must run the identical pattern.)
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_expr(col: str | Column = "text") -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer regex (contractions / letter runs / digit runs / punct
+    runs, each optionally space-prefixed).  A deterministic, engine-exact
+    estimate of subword-tokenizer input cost — the number every training-
+    data budget is denominated in."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
 def stopword_ratio_expr(col: str | Column = "text", lang: str = "en") -> Column:
     toks = tokens_expr(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -62,6 +79,47 @@ def quality_features(col: str | Column = "text") -> dict[str, Column]:
         "stopword_ratio": stopword_ratio_expr(c, "en"),
         "mean_word_len": mean_word_len,
     }
+
+
+def gopher_flags(col: str | Column = "text") -> dict[str, Column]:
+    """Gopher-style document-quality rules (Rae et al. 2021, Table A1
+    subset) as engine-exact column expressions — the standard pre-training
+    curation gate:
+
+    - ``flag_word_count``: 50 <= words <= 100,000
+    - ``flag_mean_word_len``: mean word length in [3, 10]
+    - ``flag_symbol_ratio``: ('#' + '...' occurrences) / words <= 0.1
+    - ``flag_alpha_words``: >= 80% of words contain a letter
+    - ``keep``: all of the above
+
+    Every input to a comparison is an integer count or a division of two
+    integer counts, so DuckDB reproduces the booleans bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
+    non_ws_chars = F.length(F.regexp_replace(c, r"\s", ""))
+    # try_divide: n_words=0 -> null -> coalesce(False) (ANSI mode would
+    # otherwise raise DIVIDE_BY_ZERO on empty documents)
+    mean_wl = F.try_divide(non_ws_chars, n_words)
+    symbols = F.try_divide(F.regexp_count(c, F.lit(r"#|\.\.\.")), n_words)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    flags = {
+        "n_words": n_words,
+        "flag_word_count": (n_words >= 50) & (n_words <= 100000),
+        "flag_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "flag_symbol_ratio": F.coalesce(symbols <= 0.1, F.lit(False)),
+        "flag_alpha_words": F.coalesce(
+            F.try_divide(alpha_words, n_words) >= 0.8, F.lit(False)
+        ),
+    }
+    flags["flag_mean_word_len"] = F.coalesce(flags["flag_mean_word_len"], F.lit(False))
+    flags["keep"] = (
+        flags["flag_word_count"]
+        & flags["flag_mean_word_len"]
+        & flags["flag_symbol_ratio"]
+        & flags["flag_alpha_words"]
+    )
+    return flags
 
 
 def quality_score_expr(col: str | Column = "text") -> Column:

@@ -249,6 +249,57 @@ def test_ivf_materialize_probe(spark, tmp_path):
     assert n_cells_written > 3  # index actually has more cells than probed
 
 
+def test_bpe_token_count_expr(spark):
+    """GPT-2-style pre-tokenizer: contractions split, letter/digit/punct
+    runs each count once, space prefixes absorb into the next token."""
+    from gonova_document_parser_spark.functions.textstats import (
+        bpe_token_count_expr,
+    )
+
+    cases = [
+        # "it's 2024, really?!" -> it|'s| 2024|,| really|?!
+        ("it's 2024, really?!", 6),
+        ("hello world", 2),
+        ("", 0),
+        ("a1b2", 4),  # letter/digit alternation splits each run
+        ("   ", 1),  # bare whitespace is one token
+    ]
+    df = spark.createDataFrame(cases, "t string, expect int")
+    for r in df.select("expect", bpe_token_count_expr("t").alias("n")).collect():
+        assert r["n"] == r["expect"], r
+
+
+def test_gopher_flags(spark):
+    """Gopher rules discriminate: short docs fail word-count, symbol-heavy
+    docs fail symbol-ratio, number-only docs fail alpha-words; a normal
+    prose doc passes everything."""
+    from gonova_document_parser_spark.functions.textstats import gopher_flags
+
+    prose = "the quick brown fox jumps over the lazy dog near a quiet river " * 5
+    short = "too short"
+    hashy = ("word # " * 60).strip()  # 1 symbol per 2 words -> ratio 0.5
+    nums = ("12345 67890 " * 30).strip()
+    df = spark.createDataFrame(
+        [("prose", prose), ("short", short), ("hashy", hashy), ("nums", nums),
+         ("empty", "")],
+        "name string, text string",
+    )
+    f = gopher_flags("text")
+    rows = {
+        r["name"]: r
+        for r in df.select(
+            "name", *(f[k].alias(k) for k in
+                      ("n_words", "flag_word_count", "flag_mean_word_len",
+                       "flag_symbol_ratio", "flag_alpha_words", "keep"))
+        ).collect()
+    }
+    assert rows["prose"]["keep"] is True
+    assert rows["short"]["flag_word_count"] is False and rows["short"]["keep"] is False
+    assert rows["hashy"]["flag_symbol_ratio"] is False
+    assert rows["nums"]["flag_alpha_words"] is False
+    assert rows["empty"]["n_words"] == 0 and rows["empty"]["keep"] is False
+
+
 def test_emb_neardups_lsh_finds_planted_dups(spark):
     """Quantized-LSH near-dup pairs: planted exact duplicates are all found
     (they share every bucket — structural recall), verified cosine is 1.0,
