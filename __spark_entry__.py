@@ -715,6 +715,42 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_resize(spark, sf_dir):
+    """Aspect-fit resize plumbing over opaque binary payloads: source dims
+    and output geometry are exact functions of sha256(payload) (DuckDB
+    reproduces LEAST/FLOOR of the same integer math); r0 round-trips the
+    stand-in resized payload's first byte so the stub output is pinned."""
+    from gonova_document_parser_spark.operators.multimodal import resize_images
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = resize_images(d, 224, 224, payload_col="payload", fake=True)
+    return out.select(
+        "url", "media_type", "src_width", "src_height", "width", "height",
+        F.conv(F.substring(F.hex("resized"), 1, 2), 16, 10).cast("int").alias("r0"),
+    )
+
+
+def _q_media_frames(spark, sf_dir):
+    """Frame-sampling fan-out: one payload row -> min(duration+1, 4) frame
+    rows at 1 fps; duration and frame stand-ins are sha256-derived, so the
+    whole explode shape (row counts, timestamps, payload bytes) is
+    engine-exact."""
+    from gonova_document_parser_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = sample_frames(d, fps=1.0, max_frames=4, payload_col="payload", fake=True)
+    return out.select(
+        "url", "media_type", "duration_s", "frame_idx", "ts_s",
+        F.conv(F.substring(F.hex("frame"), 1, 2), 16, 10).cast("int").alias("f0"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pipeline": _q_extract_pipeline,
@@ -748,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "graph_nodes": _q_graph_nodes,
         "graph_edges_count": _q_graph_edges_count,
         "signature_flags": _q_signature_flags,
@@ -1159,6 +1197,47 @@ def oracle_sql() -> dict[str, str]:
                      4)::DOUBLE AS cosine
             FROM embeddings e JOIN cands USING (vec_id)
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # -- resize plumbing: sha-derived source dims -> LEAST/FLOOR aspect
+        #    fit -> sha-derived stand-in payload byte, all engine-exact
+        "media_resize": """
+            WITH m AS (
+                SELECT CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN starts_with(text, '%PDF-') THEN 'pdf_scan'
+                            ELSE 'image' END AS media_type,
+                       1 + ('0x' || substr(sha256(text), 1, 2))::INT AS sw,
+                       1 + ('0x' || substr(sha256(text), 3, 2))::INT AS sh,
+                       text
+                FROM documents),
+            s AS (SELECT *, LEAST(224.0 / sw, 224.0 / sh, 1.0) AS sc FROM m),
+            g AS (SELECT url, media_type, sw, sh, text,
+                         GREATEST(1, CAST(FLOOR(sw * sc) AS INT)) AS w,
+                         GREATEST(1, CAST(FLOOR(sh * sc) AS INT)) AS h
+                  FROM s)
+            SELECT url, media_type,
+                   sw AS src_width, sh AS src_height,
+                   w AS width, h AS height,
+                   ('0x' || substr(sha256(text || ':' || CAST(w AS VARCHAR)
+                        || 'x' || CAST(h AS VARCHAR)), 1, 2))::INT AS r0
+            FROM g
+        """,
+        # -- frame-sampling fan-out: sha-derived duration -> generate_series
+        #    of min(d+1, 4) frames at 1 fps, stand-in frame byte pinned
+        "media_frames": """
+            WITH m AS (
+                SELECT CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN starts_with(text, '%PDF-') THEN 'pdf_scan'
+                            ELSE 'image' END AS media_type,
+                       1 + ('0x' || substr(sha256(text), 5, 2))::INT % 30 AS d,
+                       text
+                FROM documents)
+            SELECT url, media_type,
+                   CAST(d AS DOUBLE) AS duration_s,
+                   k::INT AS frame_idx,
+                   CAST(k AS DOUBLE) AS ts_s,
+                   ('0x' || substr(sha256(text || ':' || CAST(k AS VARCHAR)),
+                                   1, 2))::INT AS f0
+            FROM m, UNNEST(generate_series(0, LEAST(d + 1, 4) - 1)) AS t(k)
         """,
         # -- BPE-ish token budget: identical RE2-safe GPT-2-style pattern
         #    (single quotes doubled for SQL)

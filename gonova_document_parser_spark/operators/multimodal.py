@@ -22,6 +22,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -58,6 +59,12 @@ def sniff_media_type(data: bytes) -> str:
         return "gif"
     if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
         return "wav"
+    if data.startswith(b"RIFF") and data[8:12] == b"AVI ":
+        return "avi"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
+    if data.startswith(b"\x1a\x45\xdf\xa3"):
+        return "webm"
     if data.startswith(b"%PDF-"):
         return "pdf_scan"
     return "image"  # opaque binary: generic image payload
@@ -102,6 +109,53 @@ def parse_image_header(data: bytes) -> tuple[int, int] | None:
     except Exception:  # malformed header -> treated as opaque
         return None
     return None
+
+
+def parse_mp4_duration(data: bytes) -> float | None:
+    """Duration in seconds from the mp4 ``moov/mvhd`` box — REAL container
+    metadata decode, no codec library (the video sibling of
+    ``parse_image_header``).  Walks top-level ISO-BMFF boxes
+    [size u32][type 4cc], recurses into ``moov``; mvhd v0 payload is
+    [ver/flags u32][ctime u32][mtime u32][timescale u32][duration u32],
+    v1 uses u64 times."""
+
+    def walk(buf: bytes, want: bytes) -> bytes | None:
+        i = 0
+        while i + 8 <= len(buf):
+            size = int.from_bytes(buf[i : i + 4], "big")
+            if size < 8:
+                return None
+            if buf[i + 4 : i + 8] == want:
+                return buf[i + 8 : i + size]
+            i += size
+        return None
+
+    try:
+        moov = walk(data, b"moov")
+        if moov is None:
+            return None
+        mvhd = walk(moov, b"mvhd")
+        if mvhd is None or len(mvhd) < 4:
+            return None
+        version = mvhd[0]
+        if version == 0 and len(mvhd) >= 20:
+            timescale = int.from_bytes(mvhd[12:16], "big")
+            duration = int.from_bytes(mvhd[16:20], "big")
+        elif version == 1 and len(mvhd) >= 32:
+            timescale = int.from_bytes(mvhd[20:24], "big")
+            duration = int.from_bytes(mvhd[24:32], "big")
+        else:
+            return None
+        return duration / timescale if timescale else None
+    except Exception:  # malformed container -> treated as opaque
+        return None
+
+
+def fit_within(width: int, height: int, target_w: int, target_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit (never upscale): REAL geometry, shared by the
+    Spark op and the DuckDB oracle (LEAST/FLOOR of the same integer math)."""
+    scale = min(target_w / width, target_h / height, 1.0)
+    return max(1, int(width * scale)), max(1, int(height * scale))
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = True):
@@ -164,3 +218,139 @@ def media_features(df: "DataFrame", payload_col: str = "html", fake: bool = True
             )
 
     return df.select("url", payload_col).mapInPandas(batches, MEDIA_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: "DataFrame",
+    target_w: int = 224,
+    target_h: int = 224,
+    payload_col: str = "html",
+    fake: bool = True,
+) -> "DataFrame":
+    """Aspect-fit image resize over binary payloads (Arrow-batched).
+
+    REAL: source dimensions (container header parse, or the deterministic
+    sha256 stand-in for opaque payloads — same convention as
+    ``decode_media``) and the output geometry (``fit_within``).  STUBBED:
+    the pixel resample itself — fake=True emits a deterministic
+    sha256-derived stand-in payload; fake=False raises NotImplementedError
+    where a real resampler (PIL) plugs in.  Decode errors become error
+    rows, never task failures.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                mtype = sniff_media_type(data)
+                try:
+                    dims = parse_image_header(data)
+                    if dims is None:
+                        digest = hashlib.sha256(data).digest()
+                        dims = (1 + digest[0], 1 + digest[1])
+                    w, h = fit_within(dims[0], dims[1], target_w, target_h)
+                    if not fake:
+                        raise NotImplementedError(
+                            "pixel resample requires PIL; plug a real "
+                            "resampler in here"
+                        )
+                    resized = hashlib.sha256(
+                        data + b":%dx%d" % (w, h)
+                    ).digest()  # deterministic stand-in payload
+                    rows.append((url, mtype, dims[0], dims[1], w, h, resized, None))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((url, mtype, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "media_type", "src_width", "src_height",
+                    "width", "height", "resized", "error",
+                ],
+            )
+
+    return df.select("url", payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("duration_s", FloatType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("ts_s", FloatType(), True),
+        StructField("frame", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: "DataFrame",
+    fps: float = 1.0,
+    max_frames: int = 16,
+    payload_col: str = "html",
+    fake: bool = True,
+) -> "DataFrame":
+    """Uniform frame sampling over video payloads: one input row fans out
+    into ``min(floor(duration*fps)+1, max_frames)`` frame rows.
+
+    REAL: the container duration (mp4 ``mvhd`` parse; deterministic
+    sha256 stand-in ``1 + digest[2] % 30`` seconds for opaque payloads)
+    and the sampling schedule (frame k at ``ts = k/fps``).  STUBBED: the
+    frame pixel decode — fake=True emits sha256(payload:k) stand-in
+    bytes; fake=False raises NotImplementedError where ffmpeg plugs in.
+    The row fan-out shape (explode inside mapInPandas) is the deliverable:
+    it is exactly how a real sampler distributes.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                mtype = sniff_media_type(data)
+                try:
+                    duration = parse_mp4_duration(data)
+                    if duration is None:
+                        duration = float(1 + hashlib.sha256(data).digest()[2] % 30)
+                    n = min(int(duration * fps) + 1, max_frames)
+                    if not fake:
+                        raise NotImplementedError(
+                            "frame decode requires ffmpeg; plug a real "
+                            "decoder in here"
+                        )
+                    for k in range(n):
+                        frame = hashlib.sha256(data + b":%d" % k).digest()
+                        rows.append(
+                            (url, mtype, duration, k, k / fps, frame, None)
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((url, mtype, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "media_type", "duration_s", "frame_idx",
+                    "ts_s", "frame", "error",
+                ],
+            )
+
+    return df.select("url", payload_col).mapInPandas(batches, FRAMES_SCHEMA)

@@ -88,6 +88,85 @@ def test_media_decode_strict_mode_is_stub():
         decode_media(b"xx", "image", fake=False)
 
 
+def _mp4(timescale: int, duration: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov/mvhd(v0) with the given duration."""
+    import struct
+
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version/flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+    )
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_mp4_duration_and_video_sniff():
+    """mvhd duration is REAL container metadata (the video sibling of the
+    image header parse); video magics sniff correctly."""
+    from gonova_document_parser_spark.operators.multimodal import (
+        parse_mp4_duration,
+        sniff_media_type,
+    )
+
+    clip = _mp4(timescale=1000, duration=12500)  # 12.5 s
+    assert sniff_media_type(clip) == "mp4"
+    assert parse_mp4_duration(clip) == 12.5
+    assert parse_mp4_duration(b"not a video") is None
+    assert parse_mp4_duration(_mp4(0, 10)) is None  # zero timescale
+    assert sniff_media_type(b"\x1a\x45\xdf\xa3rest") == "webm"
+    assert sniff_media_type(b"RIFF....AVI move") == "avi"
+
+
+def test_fit_within_geometry():
+    from gonova_document_parser_spark.operators.multimodal import fit_within
+
+    assert fit_within(640, 480, 224, 224) == (224, 168)
+    assert fit_within(480, 640, 224, 224) == (168, 224)
+    assert fit_within(100, 50, 224, 224) == (100, 50)  # never upscale
+    assert fit_within(10000, 1, 224, 224) == (224, 1)  # floor clamps to >= 1
+
+
+def test_resize_images_plumbing(spark, corpus):
+    from gonova_document_parser_spark.operators.multimodal import resize_images
+
+    out = resize_images(corpus.limit(10), 224, 224, fake=True).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["error"] is None
+        assert 1 <= r["width"] <= 224 and 1 <= r["height"] <= 224
+        assert len(bytes(r["resized"])) == 32  # sha256 stand-in payload
+    # strict mode: the NotImplementedError seam becomes ERROR ROWS (M4
+    # policy — never a task failure), marking exactly where PIL plugs in
+    strict = resize_images(corpus.limit(3), 224, 224, fake=False).collect()
+    assert all(
+        r["resized"] is None and "pixel resample" in r["error"] for r in strict
+    )
+
+
+def test_sample_frames_fanout(spark, corpus):
+    """One payload row fans out into min(duration+1, max_frames) frame rows
+    with a uniform schedule; a real mp4 payload uses its TRUE duration."""
+    from pyspark.sql import Row
+
+    from gonova_document_parser_spark.operators.multimodal import sample_frames
+
+    clip = _mp4(timescale=10, duration=25)  # 2.5 s -> 3 frames at 1 fps
+    df = spark.createDataFrame(
+        [Row(url="v1", html=bytearray(clip))],
+        "url string, html binary",
+    )
+    rows = sample_frames(df, fps=1.0, max_frames=16).collect()
+    assert [(r["frame_idx"], r["ts_s"]) for r in rows] == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    assert all(r["media_type"] == "mp4" and r["duration_s"] == 2.5 for r in rows)
+    assert len({bytes(r["frame"]) for r in rows}) == 3  # distinct stand-ins
+    # opaque payloads cap at max_frames
+    out = sample_frames(corpus.limit(10), fps=1.0, max_frames=4).groupBy("url").count()
+    assert all(1 <= r["count"] <= 4 for r in out.collect())
+
+
 def test_extraction_plan_is_narrow(spark, corpus):
     """No shuffle (Exchange) in the extraction plan itself."""
     plan = extract_pages(corpus)._jdf.queryExecution().executedPlan().toString()
