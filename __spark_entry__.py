@@ -508,6 +508,34 @@ def _q_repetition_stats(spark, sf_dir):
     return d.select("doc_id", repetition_ratio_expr("text").alias("rep_ratio"))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: documents are
+    deterministically rendered into 8-word lines with planted boilerplate
+    (a cookie header on doc_id%3==0, a subscribe footer on doc_id%2==0);
+    lines occurring in >5 distinct docs are dropped and each document is
+    reassembled in original line order.  The oracle replays the identical
+    rendering + hot-line count + reassembly in DuckDB, so drop semantics
+    AND order preservation are hash-verified on full text bytes."""
+    from gonova_document_parser_spark.functions.lines import line_dedup
+
+    d = _docs(spark, sf_dir)
+    broken = F.regexp_replace(
+        normalized_text_expr("text"), r"((\S+ ){7}\S+) ", "$1\n"
+    )
+    aug = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("cookie notice please accept our cookies\n"),
+        ).otherwise(F.lit("")),
+        broken,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("\nsubscribe to our newsletter today"),
+        ).otherwise(F.lit("")),
+    )
+    return line_dedup(d.select("doc_id", aug.alias("text")), max_docs=5)
+
+
 def _q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization collapse: deterministically messy urls (case,
     www., default port, utm params, fragments) built identically in both
@@ -799,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "repetition_stats": _q_repetition_stats,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -1377,6 +1406,45 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        "line_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS t
+                FROM documents),
+            aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'cookie notice please accept our cookies' || chr(10)
+                            ELSE '' END
+                       || t ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'subscribe to our newsletter today'
+                            ELSE '' END AS t
+                FROM base),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       unnest(generate_series(1, len(string_split(t, chr(10)))))
+                         AS pos
+                FROM aug),
+            hot AS (
+                SELECT line FROM lines WHERE length(line) > 0
+                GROUP BY line HAVING COUNT(DISTINCT doc_id) > 5),
+            flagged AS (
+                SELECT l.doc_id, l.pos, l.line,
+                       CASE WHEN h.line IS NULL THEN 1 ELSE 0 END AS keep
+                FROM lines l LEFT JOIN hot h ON l.line = h.line)
+            SELECT doc_id,
+                   COALESCE(
+                     string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE keep = 1),
+                     '') AS clean_text,
+                   SUM(keep)::BIGINT AS n_kept,
+                   (COUNT(*) - SUM(keep))::BIGINT AS n_dropped
+            FROM flagged GROUP BY doc_id
+        """,
         "url_canonical_dedup": """
             WITH messy AS (
                 SELECT 'HTTPS://WWW.Docs.Example.COM:443/d/'

@@ -504,3 +504,37 @@ def test_url_canonicalization(spark):
     rows = df.select("expect", canonical_url_expr("url").alias("canon")).collect()
     for r in rows:
         assert r["canon"] == r["expect"], r
+
+
+def test_line_dedup_drops_hot_lines_preserving_order(spark):
+    from gonova_document_parser_spark.functions.lines import line_dedup
+
+    banner = "accept our cookies"
+    docs = [(i, f"unique opener {i}\n{banner}\n\nbody line {i}\n{banner}")
+            for i in range(8)]
+    # doc 99 has no boilerplate and a repeated (but doc-local) line
+    docs.append((99, "solo line\nsolo line"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_docs=5).collect()}
+    for i in range(8):
+        r = out[i]
+        # both banner occurrences dropped; empty line (structural) kept
+        assert r["clean_text"] == f"unique opener {i}\n\nbody line {i}"
+        assert r["n_kept"] == 3 and r["n_dropped"] == 2
+    # a line repeated only within ONE doc is not hot (count is per-doc)
+    assert out[99]["clean_text"] == "solo line\nsolo line"
+    assert out[99]["n_dropped"] == 0
+
+
+def test_line_dedup_threshold_boundary(spark):
+    from gonova_document_parser_spark.functions.lines import line_dedup
+
+    # "shared" appears in exactly max_docs docs -> kept; +1 -> dropped
+    df3 = spark.createDataFrame(
+        [(i, "shared\nown " + str(i)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    kept = line_dedup(df3, max_docs=3).collect()
+    assert all(r["clean_text"].startswith("shared") for r in kept)
+    dropped = line_dedup(df3, max_docs=2).collect()
+    assert all(not r["clean_text"].startswith("shared") for r in dropped)
