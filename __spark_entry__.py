@@ -536,6 +536,39 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(d.select("doc_id", aug.alias("text")), max_docs=5)
 
 
+# four sliding-window docs over a synthetic vocab: adjacent windows share
+# 16/24 words (3-gram Jaccard ~= 0.47 >= 0.4) but windows two apart fall
+# below the threshold — a CHAIN a-b-c-d that only transitive clustering
+# groups into one component (a clique-only implementation would fail).
+_CHAIN_DOCS = [
+    (9000000 + i, " ".join(f"c{j:02d}" for j in range(i * 8, i * 8 + 24)))
+    for i in range(4)
+]
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair list -> connected components -> keep-one-per-cluster.
+
+    Pairs come from exact n-gram Jaccard (threshold 0.4) over documents
+    augmented with 10 exact clones (2-cliques) and a 4-doc sliding-window
+    chain (transitivity test).  The DuckDB oracle recomputes the identical
+    pair list and resolves components with a recursive CTE, hard-verifying
+    label propagation, min-id cluster assignment, sizes, and keeper choice."""
+    from gonova_document_parser_spark.functions.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    chains = spark.createDataFrame(_CHAIN_DOCS, "doc_id long, text string")
+    docs = d.unionByName(clones).unionByName(chains)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_docs_per_shingle=1000)
+    return dedup_clusters(pairs)
+
+
 def _q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization collapse: deterministically messy urls (case,
     www., default port, utm params, fragments) built identically in both
@@ -828,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1406,6 +1440,58 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        "dedup_clusters": f"""
+            WITH RECURSIVE aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 5000000 AS doc_id, text FROM documents
+                WHERE doc_id < 10
+                UNION ALL
+                SELECT * FROM (VALUES {", ".join(
+                    f"({i}, '{t}')" for i, t in _CHAIN_DOCS
+                )}) v(doc_id, text)),
+            words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM aug),
+            sh0 AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+            hot AS (
+                SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000),
+            sh AS (
+                SELECT doc_id, shingle FROM sh0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                   AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.4),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, lbl) AS (
+                SELECT id, id AS lbl FROM nodes
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r
+                JOIN edges e ON e.src = r.id),
+            comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+                     FROM reach GROUP BY id),
+            csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                      FROM comp GROUP BY cluster_id)
+            SELECT c.doc_id, c.cluster_id, s.cluster_size,
+                   c.doc_id = c.cluster_id AS is_keeper
+            FROM comp c JOIN csize s USING (cluster_id)
+        """,
         "line_dedup": """
             WITH base AS (
                 SELECT doc_id,

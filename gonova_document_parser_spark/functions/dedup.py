@@ -415,3 +415,86 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (id, cluster_id).
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round takes the min over its neighbors' labels; fixpoint when the label
+    sum stops decreasing (labels are monotone non-increasing, so the sum is
+    a complete convergence witness).  Rounds = graph diameter — near-dup
+    clusters are shallow (cliques + short chains), so this converges in a
+    handful of rounds; for adversarial long-path graphs at 100 TB the
+    large-star/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") halves path lengths per round — the pair generators here
+    (band/bucket equi-joins) don't produce such graphs, so the simple
+    propagation is the right default.
+
+    Each round is one equi-join + one groupBy(min); ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+    Driver-side state is one scalar (the label sum) per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("dst", "nid")
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs and pick one keeper per cluster.
+
+    Returns (doc_id, cluster_id, cluster_size, is_keeper): cluster_id is
+    the component's min doc id (deterministic), the keeper is that min-id
+    doc — the standard keep-one-per-cluster step after any of the pair
+    generators (exact fp, Jaccard, MinHash-LSH, SimHash, embedding LSH).
+    """
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -538,3 +538,43 @@ def test_line_dedup_threshold_boundary(spark):
     assert all(r["clean_text"].startswith("shared") for r in kept)
     dropped = line_dedup(df3, max_docs=2).collect()
     assert all(not r["clean_text"].startswith("shared") for r in dropped)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from gonova_document_parser_spark.functions.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # path 1-2-3-4-5 (needs multi-round propagation), island 10-11,
+    # triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert comp[10] == comp[11] == 10
+    assert all(comp[i] == 20 for i in (20, 21, 22))
+
+    out = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert out[5]["cluster_size"] == 5 and not out[5]["is_keeper"]
+    assert out[1]["is_keeper"] and out[10]["is_keeper"] and out[20]["is_keeper"]
+    assert sum(1 for r in out.values() if r["is_keeper"]) == 3
+
+
+def test_dedup_clusters_query_chain_is_transitive(spark):
+    """The planted sliding-window chain must land in ONE component even
+    though its endpoints are below the pair threshold — the regression
+    guard that the query exercises transitivity, not just cliques."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["dedup_clusters"](spark, "/root/testdata/sf0.001").collect()
+    chain = {r["doc_id"]: r for r in rows if r["doc_id"] >= 9000000}
+    assert set(chain) == {9000000, 9000001, 9000002, 9000003}
+    assert {r["cluster_id"] for r in chain.values()} == {9000000}
+    assert chain[9000000]["cluster_size"] == 4
+    # the 10 planted exact clones each pair with their source doc
+    clones = [r for r in rows if 5000000 <= r["doc_id"] < 9000000]
+    assert len(clones) == 10
+    assert all(r["cluster_id"] == r["doc_id"] - 5000000 for r in clones)
