@@ -569,6 +569,24 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination (13-gram rule): eval set = every 50th doc;
+    the scanned corpus excludes the eval docs themselves but gains planted
+    leaks (eval text behind a 3-word prefix, ids +7000000) that still share
+    internal 13-grams.  The oracle recomputes eval shingles, the broadcast
+    semi-join hit counts, and the zero rows in DuckDB."""
+    from gonova_document_parser_spark.functions.dedup import ngram_contamination
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    leaked = ev.select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(F.lit("zz zz zz "), F.col("text")).alias("text"),
+    )
+    scanned = d.where(F.col("doc_id") % 50 != 0).unionByName(leaked)
+    return ngram_contamination(scanned, ev, n=13)
+
+
 def _q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization collapse: deterministically messy urls (case,
     www., default port, utm params, fragments) built identically in both
@@ -862,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "line_dedup": _q_line_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "contamination": _q_contamination,
     }
 
 
@@ -1440,6 +1459,40 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        "contamination": f"""
+            WITH ev AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+            scanned AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+                UNION ALL
+                SELECT doc_id + 7000000 AS doc_id, 'zz zz zz ' || text AS text
+                FROM ev),
+            evw AS (
+                SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM ev),
+            evsh AS (
+                SELECT DISTINCT {" || ' ' || ".join(
+                    f"w[i+{k}]" if k else "w[i]" for k in range(13)
+                )} AS shingle
+                FROM evw, UNNEST(generate_series(1, len(w) - 12)) AS t(i)
+                WHERE len(w) >= 13),
+            words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM scanned),
+            dsh AS (
+                SELECT DISTINCT doc_id, {" || ' ' || ".join(
+                    f"w[i+{k}]" if k else "w[i]" for k in range(13)
+                )} AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 12)) AS t(i)
+                WHERE len(w) >= 13),
+            hits AS (
+                SELECT doc_id, COUNT(*) AS n FROM dsh
+                JOIN evsh USING (shingle) GROUP BY doc_id)
+            SELECT s.doc_id,
+                   COALESCE(h.n, 0)::BIGINT AS n_hit_ngrams,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM scanned s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE aug AS (
                 SELECT doc_id, text FROM documents

@@ -498,3 +498,47 @@ def dedup_clusters(
         "cluster_size",
         (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word n-gram with an
+    evaluation set (the 13-gram rule from public LLM data curation).
+
+    Returns one row per input doc: (id_col, n_hit_ngrams, contaminated).
+    The eval-set shingle table is tiny relative to the corpus (benchmarks
+    are KBs-to-MBs against TBs of training text), so it broadcasts — the
+    corpus-side scan stays a narrow explode + broadcast-hash semi-join with
+    NO full shuffle; the per-doc hit count is the only aggregation.
+    """
+    eval_sh = (
+        shingles(
+            eval_docs.select(F.lit(0).alias("_eid"), F.col(text_col)),
+            id_col="_eid",
+            text_col=text_col,
+            n=n,
+            distinct=False,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = shingles(docs, id_col, text_col, n, distinct=True)
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -578,3 +578,25 @@ def test_dedup_clusters_query_chain_is_transitive(spark):
     clones = [r for r in rows if 5000000 <= r["doc_id"] < 9000000]
     assert len(clones) == 10
     assert all(r["cluster_id"] == r["doc_id"] - 5000000 for r in clones)
+
+
+def test_ngram_contamination_flags_leaks_only(spark):
+    from gonova_document_parser_spark.functions.dedup import ngram_contamination
+
+    bench = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words here " + bench),        # leaked: shares 13-grams
+            (2, "totally different content " + " ".join(f"w{i}" for i in range(20))),
+            (3, "short doc"),                          # < 13 words: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, bench)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(docs, ev, n=13).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hit_ngrams"] > 0
+    assert not out[2]["contaminated"] and out[2]["n_hit_ngrams"] == 0
+    assert not out[3]["contaminated"]
+    # scale shape: the eval-shingle side must broadcast (no full shuffle join)
+    plan = ngram_contamination(docs, ev, n=13)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
