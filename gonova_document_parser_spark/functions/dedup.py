@@ -371,15 +371,25 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     hash_fn: str = "xxhash64",
+    max_docs_per_block: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole banding: with ``bands`` > max_hamming blocks, any pair within
-    distance max_hamming agrees exactly on at least one block — so
-    candidates come from equi-joins on one block (cheap, hash-join),
-    then ``bit_count(a ^ b)`` verifies exactly.  All built-ins, no UDF;
-    this is the 100 TB-scale alternative to an O(n²) Hamming scan.
+    distance max_hamming agrees exactly on at least one block; candidates
+    within a block verify exactly via ``bit_count(a ^ b)``.  All built-ins,
+    no UDF; this is the 100 TB-scale alternative to an O(n²) Hamming scan.
     ``hash_fn`` as in ``simhash64`` (md5 variant is DuckDB-verifiable).
+
+    Plan shape: posting-list, not a banded SELF-join — the signature table
+    (the expensive 64-bit-vote aggregation) is computed ONCE, grouped by
+    (block_id, block), and pairs are generated JVM-side inside the sorted
+    (id, simhash) array, exactly like ``ngram_jaccard_pairs``.  A self-join
+    would recompute the whole simhash lineage for each side AND shuffle the
+    banded table twice.  ``max_docs_per_block`` optionally drops degenerate
+    blocks (a block holding d docs makes d²/2 candidates — e.g. the
+    all-identical-template pathology); None (default) keeps exact semantics
+    so the DuckDB oracle reproduces the pair set bit-for-bit.
     """
     assert bands > max_hamming
     sig = simhash64(df, id_col, text_col, hash_fn)
@@ -397,20 +407,29 @@ def simhash_neardup_pairs(
     banded = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("bk")
     ).select(id_col, "simhash", "bk.block_id", "bk.block")
-    a, b = banded.alias("a"), banded.alias("b")
+    posting = banded.groupBy("block_id", "block").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+            )
+        ).alias("xs")
+    )
+    posting = posting.where(F.size("xs") >= 2)
+    if max_docs_per_block is not None:
+        posting = posting.where(F.size("xs") <= max_docs_per_block)
+    pair_expr = F.expr(
+        "flatten(transform(xs, (a, i) -> "
+        "transform(slice(xs, i + 2, size(xs)), "
+        "b -> struct(a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        posting.select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
