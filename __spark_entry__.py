@@ -587,6 +587,32 @@ def _q_contamination(spark, sf_dir):
     return ngram_contamination(scanned, ev, n=13)
 
 
+def _q_sample_mix(spark, sf_dir):
+    """Deterministic per-source Bernoulli sampling (training-mix weights):
+    integer hash-threshold per stratum, zero shuffle (pure pushed filter).
+    The oracle reproduces exact MEMBERSHIP (every kept doc_id), not just
+    per-source counts, via the same md5-prefix integer hash in DuckDB."""
+    from gonova_document_parser_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(
+        d,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_rate=0.05,
+    )
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hash range — stable
+    under appends (new docs never move old docs between splits).  The
+    oracle recomputes every per-doc assignment from the same integer cut
+    points."""
+    from gonova_document_parser_spark.functions.sampling import hash_split
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def _q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization collapse: deterministically messy urls (case,
     www., default port, utm params, fragments) built identically in both
@@ -881,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "contamination": _q_contamination,
+        "sample_mix": _q_sample_mix,
+        "hash_split": _q_hash_split,
     }
 
 
@@ -1459,6 +1487,28 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        # -- sampling: same md5-prefix integer hash and integer thresholds
+        #    as functions/sampling.py — exact membership, no float compare
+        "sample_mix": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT <
+                  CASE source
+                       WHEN 'src0' THEN {int(1.0 * (1 << 28))}
+                       WHEN 'src1' THEN {int(0.5 * (1 << 28))}
+                       WHEN 'src2' THEN {int(0.25 * (1 << 28))}
+                       WHEN 'src3' THEN {int(0.1 * (1 << 28))}
+                       ELSE {int(0.05 * (1 << 28))} END
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN h < {int(0.8 * (1 << 28))} THEN 'train'
+                        WHEN h < {int((0.8 + 0.1) * (1 << 28))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+                           AS h
+                  FROM documents)
+        """,
         "contamination": f"""
             WITH ev AS (
                 SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),

@@ -600,3 +600,48 @@ def test_ngram_contamination_flags_leaks_only(spark):
     # scale shape: the eval-shingle side must broadcast (no full shuffle join)
     plan = ngram_contamination(docs, ev, n=13)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_deterministic_and_per_stratum(spark):
+    from gonova_document_parser_spark.functions.sampling import stratified_sample
+
+    d = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    got = stratified_sample(d, rates, default_rate=0.25).collect()
+    again = stratified_sample(d, rates, default_rate=0.25).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+    by_src = {}
+    for r in got:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["s0"] == 500          # rate 1.0 keeps everything
+    assert "s2" not in by_src           # rate 0.0 keeps nothing
+    assert 150 <= by_src["s1"] <= 350   # ~250 at rate 0.5
+    assert 50 <= by_src.get("s3", 0) <= 200  # default 0.25 -> ~125
+    # no shuffle: a pure filter, no Exchange in the plan
+    plan = (
+        stratified_sample(d, rates)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_split_stable_under_append(spark):
+    from gonova_document_parser_spark.functions.sampling import hash_split
+
+    import pytest as _pytest
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    big = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, splits).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, splits).collect()}
+    assert all(b[k] == v for k, v in a.items())  # appends never move docs
+    counts = {}
+    for v in b.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 1000          # total partition: every doc
+    with _pytest.raises(ValueError):
+        hash_split(small, {"train": 0.5, "val": 0.1})  # doesn't sum to 1
