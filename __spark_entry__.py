@@ -613,6 +613,26 @@ def _q_hash_split(spark, sf_dir):
     return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _q_latest_snapshot(spark, sf_dir):
+    """Crawl re-fetch dedup analog: keep only the newest row per key
+    (user_id, event_type) — row_number window, one shuffle, deterministic
+    event_id tiebreak.  The oracle replays the identical window in
+    DuckDB, verifying exactly which snapshot survives per key."""
+    from gonova_document_parser_spark.functions.dedup import latest_snapshot
+
+    e = _events(spark, sf_dir)
+    out = latest_snapshot(
+        e, ["user_id", "event_type"], ts_col="ts", tiebreak_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        F.round("value", 2).alias("value"),
+    )
+
+
 def _q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization collapse: deterministically messy urls (case,
     www., default port, utm params, fragments) built identically in both
@@ -909,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "sample_mix": _q_sample_mix,
         "hash_split": _q_hash_split,
+        "latest_snapshot": _q_latest_snapshot,
     }
 
 
@@ -1487,6 +1508,18 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        "latest_snapshot": f"""
+            WITH ranked AS (
+                SELECT event_id, user_id, event_type, ts, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT event_id, user_id, event_type,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+                   ROUND(value, 2)::DOUBLE AS value
+            FROM ranked WHERE rn = 1
+        """,
         # -- sampling: same md5-prefix integer hash and integer thresholds
         #    as functions/sampling.py — exact membership, no float compare
         "sample_mix": f"""

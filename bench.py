@@ -60,6 +60,9 @@ HEADLINE = [
     "events_hourly",
     "top_users_by_value",
     "ordered_merge",
+    "line_dedup",
+    "contamination",
+    "sample_mix",
     "extract_pipeline",
 ]
 

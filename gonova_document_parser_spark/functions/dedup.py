@@ -463,13 +463,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -485,7 +485,7 @@ def connected_components(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("lbl")).collect()[0][0]
         if s == prev_sum:
@@ -546,11 +546,16 @@ def ngram_contamination(
         .select("shingle")
         .distinct()
     )
-    doc_sh = shingles(docs, id_col, text_col, n, distinct=True)
+    # distinct=False is load-bearing: shingles() would otherwise append a
+    # .distinct() — a FULL corpus shuffle of 13-gram strings.  The
+    # broadcast join filters to matched rows first (a vanishing fraction),
+    # so counting DISTINCT matched shingles per doc afterwards shuffles
+    # only the hits.
+    doc_sh = shingles(docs, id_col, text_col, n, distinct=False)
     hits = (
         doc_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .agg(F.count_distinct("shingle").alias("n_hit_ngrams"))
     )
     return (
         docs.select(id_col)
@@ -560,4 +565,34 @@ def ngram_contamination(
             F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
             (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep only the newest row per key — crawl re-fetch dedup.
+
+    A re-crawled corpus carries several snapshots of the same url; every
+    downstream count/dedup/extraction pass must see exactly one.  This is
+    a row_number window over the key ordered by ``ts_col`` DESC (plus an
+    optional deterministic ``tiebreak_col`` DESC for equal timestamps —
+    REQUIRED for reproducible output whenever ts collisions are possible):
+    ONE shuffle on the key columns, streaming rank inside each partition,
+    no join back.  At 100 TB the key shuffle is unavoidable for this
+    semantics; pre-bucketing the table by url makes it a local sort.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )

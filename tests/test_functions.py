@@ -645,3 +645,20 @@ def test_hash_split_stable_under_append(spark):
     assert sum(counts.values()) == 1000          # total partition: every doc
     with _pytest.raises(ValueError):
         hash_split(small, {"train": 0.5, "val": 0.1})  # doesn't sum to 1
+
+
+def test_latest_snapshot_keeps_newest_with_tiebreak(spark):
+    from datetime import datetime
+
+    from gonova_document_parser_spark.functions.dedup import latest_snapshot
+
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 1, 2)
+    rows = [
+        ("u1", t1, 1), ("u1", t2, 2),          # newest wins
+        ("u2", t1, 3), ("u2", t1, 4),          # tie -> max tiebreak wins
+        ("u3", t2, 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, snap_id long")
+    out = {r["url"]: r["snap_id"]
+           for r in latest_snapshot(df, ["url"], tiebreak_col="snap_id").collect()}
+    assert out == {"u1": 2, "u2": 4, "u3": 5}
