@@ -613,6 +613,23 @@ def _q_hash_split(spark, sf_dir):
     return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated-span coverage (exact-substring dedup signal):
+    documents plus planted partial copies (first 20 words of every
+    doc_id<15, ids +8000000).  The oracle recomputes hashed 10-token
+    windows, the >=2-distinct-docs duplicate set, and the interval-union
+    token coverage per doc in DuckDB — hash-exact including the zeros."""
+    from gonova_document_parser_spark.functions.dedup import duplicated_spans
+    from gonova_document_parser_spark.functions.textstats import tokens_expr
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    partial = d.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.array_join(F.slice(tokens_expr("text"), 1, 20), " ").alias("text"),
+    )
+    return duplicated_spans(d.unionByName(partial), window=10)
+
+
 def _q_latest_snapshot(spark, sf_dir):
     """Crawl re-fetch dedup analog: keep only the newest row per key
     (user_id, event_type) — row_number window, one shuffle, deterministic
@@ -930,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": _q_sample_mix,
         "hash_split": _q_hash_split,
         "latest_snapshot": _q_latest_snapshot,
+        "dup_spans": _q_dup_spans,
     }
 
 
@@ -1508,6 +1526,44 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        "dup_spans": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            aug AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + 8000000 AS doc_id,
+                       array_to_string(
+                         (string_split_regex(lower(trim(text)), '\\s+'))[1:20],
+                         ' ') AS text
+                FROM base WHERE doc_id < 15),
+            words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM aug),
+            wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(w[i:i+9], ' ')) AS wh
+                FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+                WHERE len(w) >= 10),
+            dup AS (
+                SELECT wh FROM wins
+                GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+            hit AS (
+                SELECT doc_id, list_sort(list_distinct(list(pos))) AS ps,
+                       COUNT(DISTINCT pos) AS nw
+                FROM wins JOIN dup USING (wh) GROUP BY doc_id),
+            cov AS (
+                SELECT doc_id, nw,
+                       10 + COALESCE(list_sum(list_transform(
+                             generate_series(1, len(ps) - 1),
+                             i -> least(10, ps[i+1] - ps[i]))), 0) AS covered
+                FROM hit)
+            SELECT t.doc_id,
+                   COALESCE(c.nw, 0)::BIGINT AS n_dup_windows,
+                   ROUND(CASE WHEN c.nw IS NOT NULL AND len(t.w) > 0
+                              THEN c.covered * 1.0 / len(t.w)
+                              ELSE 0.0 END, 6)::DOUBLE AS dup_frac
+            FROM words t LEFT JOIN cov c USING (doc_id)
+        """,
         "latest_snapshot": f"""
             WITH ranked AS (
                 SELECT event_id, user_id, event_type, ts, value,

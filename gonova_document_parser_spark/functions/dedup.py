@@ -37,6 +37,28 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def shingle_array_expr(text_col: str, n: int) -> "F.Column":
+    """array<string> of word n-gram shingles, in token order (no UDF).
+
+    n shifted O(k) slices zipped per DOC, not per shingle: the naive
+    per-position slice inside the lambda is O(k^2) per doc, and
+    element_at-in-lambda is interpreted (measured 3x slower still).
+    Element i (0-based) starts at token i, so array position doubles as
+    the shingle's token offset (``duplicated_spans`` relies on this).
+    """
+    toks = tokens_expr(text_col)
+    m = F.size(toks) - (n - 1)  # number of shingles
+    shifted = [F.slice(toks, j + 1, m) for j in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -51,20 +73,7 @@ def shingles(
     ``collect_set`` in the Jaccard posting build); set-semantics consumers
     (pair intersection joins) need the default.
     """
-    toks = tokens_expr(text_col)
-    # n shifted O(k) slices zipped per DOC, not per shingle: the naive
-    # per-position slice inside the lambda is O(k^2) per doc, and
-    # element_at-in-lambda is interpreted (measured 3x slower still)
-    m = F.size(toks) - (n - 1)  # number of shingles
-    shifted = [F.slice(toks, j + 1, m) for j in range(n)]
-    zipped = F.arrays_zip(*shifted)
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            zipped,
-            lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = shingle_array_expr(text_col, n)
     # fan_out BEFORE the explode: the expansion multiplies rows after the
     # scan, so a compacted small input (one scan task) would otherwise run
     # the whole shingle build on one core
@@ -595,4 +604,72 @@ def latest_snapshot(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span signal (exact-substring dedup, the
+    "Deduplicating Training Data Makes Language Models Better" idea,
+    expressed as a per-doc coverage metric instead of corpus surgery).
+
+    A token window of length ``window`` is *duplicated* when its exact
+    content appears in >= 2 distinct documents.  Returns per doc:
+    (id_col, n_dup_windows, dup_frac) where dup_frac is the fraction of
+    the doc's TOKENS covered by the union of its duplicated windows —
+    the curation gate cuts on it like any Gopher rule, but the signal is
+    corpus-wide, not within-doc.
+
+    Scale shape: windows are hashed (md5 — 128 bits, no birthday loss at
+    corpus scale, DuckDB-reproducible) so the corpus-wide count groupBy
+    shuffles 16-byte keys, not window strings; the duplicated subset
+    joins back against the window stream by hash; the interval-union
+    coverage is pure array math inside one per-doc aggregation (sorted
+    starts: covered = window + sum(min(window, gap)) over consecutive
+    starts — no explode of covered positions).
+    """
+    wins = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.posexplode(shingle_array_expr(text_col, window)).alias("pos", "win"),
+    ).select(id_col, "pos", F.md5("win").alias("wh"))
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        wins.join(dup, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("pos").alias("n_dup_windows"),
+            F.sort_array(F.collect_set("pos")).alias("ps"),
+        )
+    )
+    gaps = F.zip_with(
+        F.slice("ps", 1, F.size("ps") - 1),
+        F.slice(F.col("ps"), 2, F.size("ps") - 1),
+        lambda a, b: F.least(b - a, F.lit(window)),
+    )
+    covered = F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + F.lit(window)
+    toks = df.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).alias("n_toks")
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.col("n_dup_windows").isNotNull() & (F.col("n_toks") > 0),
+                    covered / F.col("n_toks"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
     )

@@ -662,3 +662,29 @@ def test_latest_snapshot_keeps_newest_with_tiebreak(spark):
     out = {r["url"]: r["snap_id"]
            for r in latest_snapshot(df, ["url"], tiebreak_col="snap_id").collect()}
     assert out == {"u1": 2, "u2": 4, "u3": 5}
+
+
+def test_duplicated_spans_interval_union(spark):
+    from gonova_document_parser_spark.functions.dedup import duplicated_spans
+
+    common = " ".join(f"c{i}" for i in range(12))      # 12 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "x0 x1 x2 " + common + " y0 y1"),       # 17 toks, block at 3..14
+            (2, common + " z0 z1 z2 z3"),               # 16 toks, block at 0..11
+            (3, common + " " + " ".join(f"m{i}" for i in range(10))
+                + " " + common),                        # block twice: 34 toks
+            (4, " ".join(f"u{i}" for i in range(15))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(docs, window=10).collect()}
+    # 12-token block -> 3 windows of 10; union covers exactly 12 tokens
+    assert out[1]["n_dup_windows"] == 3
+    assert out[1]["dup_frac"] == round(12 / 17, 6)
+    assert out[2]["n_dup_windows"] == 3
+    assert out[2]["dup_frac"] == round(12 / 16, 6)
+    # two disjoint duplicated blocks: union = 24 of 34 tokens
+    assert out[3]["n_dup_windows"] == 6
+    assert out[3]["dup_frac"] == round(24 / 34, 6)
+    assert out[4]["n_dup_windows"] == 0 and out[4]["dup_frac"] == 0.0
