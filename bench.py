@@ -63,6 +63,9 @@ HEADLINE = [
     "line_dedup",
     "contamination",
     "sample_mix",
+    "dup_spans",
+    "latest_snapshot",
+    "hash_split",
     "extract_pipeline",
 ]
 

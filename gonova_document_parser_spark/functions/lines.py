@@ -65,16 +65,22 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
     )
+    # count/join on a 16-byte md5 digest, not the line string: the count
+    # groupBy is the one corpus-wide shuffle here, and a binary digest key
+    # moves ~3x fewer bytes than typical boilerplate lines (128 bits — no
+    # birthday loss at web scale, unlike a 64-bit hash).  Output is
+    # unchanged: grouping by md5(line) IS grouping by line.
+    lines = lines.withColumn("lh", F.unhex(F.md5("line")))
     hot = (
         lines.where(F.length("line") > 0)
-        .groupBy("line")
+        .groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") > max_docs)
-        .select("line", F.lit(1).alias("is_hot"))
+        .select("lh", F.lit(1).alias("is_hot"))
     )
     if broadcast_hot:
         hot = F.broadcast(hot)
-    flagged = lines.join(hot, "line", "left").select(
+    flagged = lines.join(hot, "lh", "left").select(
         F.col(id_col),
         "pos",
         "line",
