@@ -536,6 +536,41 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(d.select("doc_id", aug.alias("text")), max_docs=5)
 
 
+# closed-form host-graph edge list of the rendered-pages corpus with the
+# planted partner link (see _host_graph_df); shared by the host_graph and
+# host_pagerank oracles
+_HOST_EDGES_SQL = """
+    WITH d AS (
+        SELECT doc_id, (doc_id % 10) <= 6 AS is_html,
+               'partner-' || (doc_id % 5) || '.example.net' AS ph
+        FROM documents),
+    edges AS (
+        SELECT 'docs.example.com' AS src_host, 'docs.example.com' AS dst_host,
+               (9 * COUNT(*))::BIGINT AS n_links
+        FROM d WHERE is_html HAVING COUNT(*) > 0
+        UNION ALL
+        SELECT 'docs.example.com' AS src_host, ph AS dst_host,
+               COUNT(*)::BIGINT AS n_links
+        FROM d GROUP BY ph)
+"""
+
+# five unrolled integer power-iteration steps (fixed-iteration PageRank —
+# identical integer recurrence to functions/webgraph.py pagerank_hosts)
+_PAGERANK_ITERS_SQL = "".join(
+    f""",
+    pr{t + 1} AS (
+        SELECT n.host,
+               (150000 + COALESCE(SUM(
+                   (p.r * 85 * e.n_links) // (100 * o.wsum)), 0))::BIGINT AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst_host = n.host
+        LEFT JOIN outw o ON o.src_host = e.src_host
+        LEFT JOIN pr{t} p ON p.host = e.src_host
+        GROUP BY n.host)"""
+    for t in range(5)
+)
+
+
 # four sliding-window docs over a synthetic vocab: adjacent windows share
 # 16/24 words (3-gram Jaccard ~= 0.47 >= 0.4) but windows two apart fall
 # below the threshold — a CHAIN a-b-c-d that only transitive clustering
@@ -628,6 +663,40 @@ def _q_dup_spans(spark, sf_dir):
         F.array_join(F.slice(tokens_expr("text"), 1, 20), " ").alias("text"),
     )
     return duplicated_spans(d.unionByName(partial), window=10)
+
+
+def _host_graph_df(spark, sf_dir):
+    """Rendered pages -> host link graph, with one planted cross-host link
+    per page (partner-(doc_id%5).example.net) appended to the html string.
+    The engine must genuinely regex-parse hrefs out of rendered bytes; the
+    oracle knows the render's closed form (9 boilerplate links per html
+    page, 0 for pdf/scanned, +1 planted external for every page)."""
+    from gonova_document_parser_spark.corpus import pages_from_documents
+    from gonova_document_parser_spark.functions.webgraph import outlink_host_graph
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    num = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("long")
+    html_str = F.concat(
+        F.decode("html", "UTF-8"),
+        F.lit('<a href="https://partner-'),
+        (num % 5).cast("string"),
+        F.lit('.example.net/x">p</a>'),
+    )
+    return outlink_host_graph(pages.select("url", html_str.alias("html_text")))
+
+
+def _q_host_graph(spark, sf_dir):
+    return _host_graph_df(spark, sf_dir)
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Integer-exact fixed-iteration PageRank over the extracted host
+    graph — no float anywhere, so the DuckDB oracle (5 unrolled
+    power-iteration CTEs over the closed-form edge list) matches
+    bit-for-bit."""
+    from gonova_document_parser_spark.functions.webgraph import pagerank_hosts
+
+    return pagerank_hosts(_host_graph_df(spark, sf_dir), iters=5)
 
 
 def _q_latest_snapshot(spark, sf_dir):
@@ -948,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "latest_snapshot": _q_latest_snapshot,
         "dup_spans": _q_dup_spans,
+        "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
     }
 
 
@@ -1526,6 +1597,27 @@ def oracle_sql() -> dict[str, str]:
         # -- URL canonicalization: same RE2 regexes, DuckDB backrefs are \1
         #    (Spark uses $1); 'g' flag where Spark's replace-all semantics
         #    matter (non-anchored patterns)
+        # -- host graph: the oracle knows the deterministic render's link
+        #    structure closed-form (9 boilerplate hrefs per html page,
+        #    none for pdf/scanned, +1 planted partner link per page)
+        "host_graph": _HOST_EDGES_SQL
+        + """
+            SELECT src_host, dst_host, n_links FROM edges
+        """,
+        "host_pagerank": _HOST_EDGES_SQL
+        + """,
+            nodes AS (
+                SELECT DISTINCT src_host AS host FROM edges
+                UNION
+                SELECT DISTINCT dst_host AS host FROM edges),
+            outw AS (
+                SELECT src_host, SUM(n_links) AS wsum FROM edges GROUP BY 1),
+            pr0 AS (SELECT host, 1000000::BIGINT AS r FROM nodes)
+        """
+        + _PAGERANK_ITERS_SQL
+        + """
+            SELECT host, r AS rank_scaled FROM pr5
+        """,
         "dup_spans": """
             WITH base AS (SELECT doc_id, text FROM documents),
             aug AS (

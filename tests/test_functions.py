@@ -688,3 +688,47 @@ def test_duplicated_spans_interval_union(spark):
     assert out[3]["n_dup_windows"] == 6
     assert out[3]["dup_frac"] == round(24 / 34, 6)
     assert out[4]["n_dup_windows"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_outlink_host_graph_resolution(spark):
+    from gonova_document_parser_spark.functions.webgraph import outlink_host_graph
+
+    rows = [
+        ("https://a.com/page", '<a href="/rel">x</a><a href=\'https://B.com/y\'>y</a>'
+         '<a href="//c.com/z">z</a><a href="https://a.com/self">s</a>'),
+        ("https://a.com/other", '<a href="#frag">f</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html_text string")
+    edges = {(r["src_host"], r["dst_host"]): r["n_links"]
+             for r in outlink_host_graph(df).collect()}
+    # relative + fragment -> own host; absolute lowercased; proto-relative
+    assert edges == {
+        ("a.com", "a.com"): 3,   # /rel, /self (absolute same host), #frag
+        ("a.com", "b.com"): 1,
+        ("a.com", "c.com"): 1,
+    }
+
+
+def test_pagerank_integer_exact_vs_reference(spark):
+    from gonova_document_parser_spark.functions.webgraph import pagerank_hosts
+
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "a", 1), ("c", "a", 3)]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    got = {r["host"]: r["rank_scaled"]
+           for r in pagerank_hosts(df, iters=5).collect()}
+
+    # independent pure-Python replica of the integer recurrence
+    SCALE, BASE = 1_000_000, 150_000
+    hosts = {"a", "b", "c"}
+    W = {"a": 3, "b": 1, "c": 3}
+    r = {h: SCALE for h in hosts}
+    for _ in range(5):
+        nxt = {h: BASE for h in hosts}
+        for s, d, w in edges:
+            nxt[d] += (r[s] * 85 * w) // (100 * W[s])
+        r = nxt
+    assert got == r
+    # determinism across runs (no float, no order dependence)
+    again = {x["host"]: x["rank_scaled"]
+             for x in pagerank_hosts(df, iters=5).collect()}
+    assert got == again
