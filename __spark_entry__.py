@@ -699,6 +699,22 @@ def _q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(_host_graph_df(spark, sf_dir), iters=5)
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Anti-domination quota: keep at most 10 docs per source, ranked by
+    quality score (doc_id tiebreak).  The oracle replays the identical
+    ROW_NUMBER window in DuckDB — exact kept-set membership, which also
+    re-verifies cross-engine ordering of the rounded quality doubles."""
+    from gonova_document_parser_spark.functions.sampling import domain_cap
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_expr("text"), 6).alias("q"),
+    )
+    return domain_cap(scored, 10, key_col="source", order_col="q")
+
+
 def _q_latest_snapshot(spark, sf_dir):
     """Crawl re-fetch dedup analog: keep only the newest row per key
     (user_id, event_type) — row_number window, one shuffle, deterministic
@@ -1019,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
+        "domain_cap": _q_domain_cap,
     }
 
 
@@ -1655,6 +1672,25 @@ def oracle_sql() -> dict[str, str]:
                               THEN c.covered * 1.0 / len(t.w)
                               ELSE 0.0 END, 6)::DOUBLE AS dup_frac
             FROM words t LEFT JOIN cov c USING (doc_id)
+        """,
+        "domain_cap": f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       ROUND(
+                         LEAST(length(text) / 500.0, 1.0) * 0.5 +
+                         CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) > 0
+                              THEN {_LANG_HITS['en']} * 1.0 /
+                                   len(string_split_regex(lower(trim(text)), '\\s+'))
+                              ELSE 0.0 END * 0.5,
+                       6)::DOUBLE AS q
+                FROM documents),
+            ranked AS (
+                SELECT doc_id, source, q,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY q DESC, doc_id) AS rn
+                FROM scored)
+            SELECT doc_id, source, q FROM ranked WHERE rn <= 10
         """,
         "latest_snapshot": f"""
             WITH ranked AS (

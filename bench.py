@@ -66,6 +66,11 @@ HEADLINE = [
     "dup_spans",
     "latest_snapshot",
     "hash_split",
+    "host_graph",
+    # host_pagerank and dedup_clusters are deliberately NOT headline rows:
+    # both are iterative driver loops whose local wall is dominated by the
+    # ~1 s/round job-scheduling floor (see BENCH/BASELINE.md §2), not by
+    # per-row work
     "extract_pipeline",
 ]
 

@@ -80,3 +80,35 @@ def hash_split(
     # note the reversed fold: the innermost when is the FIRST bucket, so
     # each row lands in the lowest cut point that exceeds its hash
     return df.withColumn("split", expr)
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_key: int,
+    key_col: str = "source",
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap rows per domain/source — the anti-domination quota.
+
+    A handful of giant hosts otherwise dominate a crawl-derived training
+    mix; public pipelines cap documents per domain.  Keeps the top
+    ``max_per_key`` rows per key, ranked by ``order_col`` DESC (e.g. a
+    quality score; None ranks by ``id_col`` ASC alone), with ``id_col``
+    ASC as the deterministic tiebreak.  One key shuffle (row_number
+    window), no join-back; the window never materializes more than a
+    partition's run of one key.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if order_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(F.col(key_col)).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_per_key)
+        .drop("_rn")
+    )

@@ -732,3 +732,87 @@ def test_pagerank_integer_exact_vs_reference(spark):
     again = {x["host"]: x["rank_scaled"]
              for x in pagerank_hosts(df, iters=5).collect()}
     assert got == again
+
+
+def test_line_dedup_matches_python_reference_on_random_corpus(spark):
+    import random
+
+    from gonova_document_parser_spark.functions.lines import line_dedup
+
+    rng = random.Random(1234)
+    pool = [f"line {i} xyz" for i in range(30)]       # small pool -> hot lines
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 12))))
+        for i in range(200)
+    ]
+    max_docs = 40
+    # pure-Python reference with identical semantics
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            if ln:
+                seen[ln].add(i)
+    hot = {ln for ln, s in seen.items() if len(s) > max_docs}
+    expect = {}
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln not in hot]
+        expect[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, max_docs=max_docs).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    import random
+
+    from gonova_document_parser_spark.functions.dedup import connected_components
+
+    rng = random.Random(99)
+    edges = sorted({(rng.randint(0, 59), rng.randint(0, 59)) for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    expect = {v: find(v) for v in touched}
+    # canonical label = min node id in component
+    comp_min = {}
+    for v, r in expect.items():
+        comp_min.setdefault(r, v)
+        comp_min[r] = min(comp_min[r], v)
+    expect = {v: comp_min[find(v)] for v in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == expect
+
+
+def test_domain_cap_quota_and_ranking(spark):
+    from gonova_document_parser_spark.functions.sampling import domain_cap
+
+    rows = [(i, "big" if i < 20 else "small", float(i % 7)) for i in range(26)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = domain_cap(df, 3, key_col="source", order_col="q").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["big"]) == 3
+    assert len(by_src["small"]) == 3
+    # highest q wins (q=6 at ids 6 and 13), then q=5 at id 5; ties break
+    # by lowest doc_id
+    assert sorted(by_src["big"]) == [5, 6, 13]
+    assert sorted(by_src["small"]) == [20, 24, 25]
