@@ -699,6 +699,22 @@ def _q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(_host_graph_df(spark, sf_dir), iters=5)
 
 
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus-wide most-frequent trigram listing (vocab/statistics prep):
+    one groupBy(shingle) count, then a top-50 with a deterministic
+    shingle tiebreak — compiles to TakeOrderedAndProject (per-partition
+    heaps), NOT a full sort."""
+    from gonova_document_parser_spark.functions.dedup import shingles
+
+    sh = shingles(_docs(spark, sf_dir), n=3, distinct=False)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("shingle").asc())
+        .limit(50)
+    )
+
+
 def _q_domain_cap(spark, sf_dir):
     """Anti-domination quota: keep at most 10 docs per source, ranked by
     quality score (doc_id tiebreak).  The oracle replays the identical
@@ -1036,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "domain_cap": _q_domain_cap,
+        "top_ngrams": _q_top_ngrams,
     }
 
 
@@ -1672,6 +1689,17 @@ def oracle_sql() -> dict[str, str]:
                               THEN c.covered * 1.0 / len(t.w)
                               ELSE 0.0 END, 6)::DOUBLE AS dup_frac
             FROM words t LEFT JOIN cov c USING (doc_id)
+        """,
+        "top_ngrams": """
+            WITH words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents),
+            sh AS (
+                SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3)
+            SELECT shingle, COUNT(*) AS n FROM sh
+            GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 50
         """,
         "domain_cap": f"""
             WITH scored AS (

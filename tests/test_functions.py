@@ -816,3 +816,14 @@ def test_domain_cap_quota_and_ranking(spark):
     # by lowest doc_id
     assert sorted(by_src["big"]) == [5, 6, 13]
     assert sorted(by_src["small"]) == [20, 24, 25]
+
+
+def test_top_ngrams_plan_uses_topk_not_full_sort(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["top_ngrams"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # per-partition heap top-k
+    rows = df.collect()
+    assert len(rows) == 50
+    assert all(rows[i]["n"] >= rows[i + 1]["n"] for i in range(len(rows) - 1))
