@@ -34,7 +34,7 @@ def line_doc_counts(
     """(line, n_docs) for every distinct non-empty line in the corpus."""
     lines = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+        F.explode(F.split(F.col(text_col), "\r?\n", -1)).alias("line"),
     )
     return (
         lines.where(F.length("line") > 0)
@@ -55,7 +55,9 @@ def line_dedup(
     Returns one row per document: (id_col, clean_text, n_kept, n_dropped).
     ``clean_text`` preserves the original order and bytes of surviving
     lines ('\\n'-joined); all occurrences of a hot line are dropped,
-    including repeats inside one document.
+    including repeats inside one document.  Lines split on ``\\r?\\n``, so
+    CRLF input dedups against LF input with identical content and the
+    reassembled text is LF-normalized (real crawl text mixes both).
 
     ``broadcast_hot=True`` broadcasts the hot-line table (boilerplate sets
     are small even at web scale); set False to fall back to a shuffle join
@@ -63,7 +65,7 @@ def line_dedup(
     """
     lines = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n", -1)).alias("pos", "line"),
     )
     # count/join on a 16-byte md5 digest, not the line string: the count
     # groupBy is the one corpus-wide shuffle here, and a binary digest key

@@ -827,3 +827,18 @@ def test_top_ngrams_plan_uses_topk_not_full_sort(spark):
     rows = df.collect()
     assert len(rows) == 50
     assert all(rows[i]["n"] >= rows[i + 1]["n"] for i in range(len(rows) - 1))
+
+
+def test_line_dedup_crlf_matches_lf(spark):
+    from gonova_document_parser_spark.functions.lines import line_dedup
+
+    banner = "accept all cookies now"
+    docs = [(i, f"opener {i}\r\n{banner}") for i in range(4)]
+    docs += [(10 + i, f"opener {10 + i}\n{banner}") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_docs=5).collect()}
+    # banner is hot across CRLF and LF docs combined (8 > 5) and dropped
+    # from both; output is LF-normalized
+    for i in list(range(4)) + list(range(10, 14)):
+        assert out[i]["clean_text"] == f"opener {i}"
+        assert out[i]["n_dropped"] == 1
