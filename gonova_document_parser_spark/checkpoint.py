@@ -102,6 +102,126 @@ def _now() -> datetime.datetime:
     return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
 
+def reconcile_orphan_partitions(
+    spark: SparkSession, output_path: str, checkpoint_path: str
+) -> int:
+    """Delete delta partition dirs that lack a completed checkpoint row.
+
+    Closes the digest-mode crash window (ADVICE r3): the per-wave commit
+    order is data -> digests -> checkpoint row, so a kill between a
+    wave's data write and its digest write leaves extracted rows under
+    ``delta=S1`` with NO digests.  If the crawl input grows before the
+    retry, the digest anti-join treats those urls as new, the delta's
+    content snapshot changes to S2, and the urls are re-extracted under
+    ``delta=S2`` — while the orphaned ``delta=S1`` dirs remain, so
+    whole-output reads would return them twice.  Reconciling first
+    restores the invariant "every surviving partition dir has a
+    completed checkpoint row (and therefore its digests)"; the orphaned
+    urls simply rejoin the new delta.
+
+    Safe on every layout: only ``delta=*/partition_id=*`` dirs are
+    touched (the incremental layout; direct ``run_with_checkpoint``
+    outputs have no delta level and resume through the checkpoint table
+    alone, where in-place wave overwrite is already idempotent).  Uses
+    the Hadoop FileSystem API, so it works on HDFS/S3A as well as
+    local paths.  Driver-side state is one (run_id, partition_id) pair
+    per completed partition — bounded by deltas x n_partitions, the
+    same order as the checkpoint table itself.
+
+    Returns the number of partition dirs removed.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    ckpt = _read_parquet_if_exists(spark, checkpoint_path, CHECKPOINT_SCHEMA)
+    completed: set[tuple[str, int]] = set()
+    if ckpt is not None:
+        completed = {
+            (r["run_id"], r["partition_id"])
+            for r in ckpt.where(F.col("status") == "completed")
+            .select("run_id", "partition_id")
+            .distinct()
+            .collect()
+        }
+    removed = 0
+    digest_root = jvm.org.apache.hadoop.fs.Path(f"{output_path}/_url_digests")
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("delta=")):
+            continue
+        run_id = name[len("delta=") :]
+        for pst in fs.listStatus(st.getPath()):
+            pname = pst.getPath().getName()
+            if not (pst.isDirectory() and pname.startswith("partition_id=")):
+                continue
+            try:
+                pid = int(pname.split("=", 1)[1])
+            except ValueError:
+                continue
+            if (run_id, pid) in completed:
+                continue
+            fs.delete(pst.getPath(), True)
+            dig = jvm.org.apache.hadoop.fs.Path(
+                f"{output_path}/_url_digests/{name}/{pname}"
+            )
+            if fs.exists(dig):
+                fs.delete(dig, True)
+            removed += 1
+            _LOG.warning(
+                "reconcile: removed orphan partition dir %s/%s "
+                "(no completed checkpoint row)", name, pname,
+            )
+    # digest dirs can also outlive their data (kill during a re-run's data
+    # overwrite after digests existed): drop digest partitions with no
+    # completed row too, so the anti-join can't hide urls whose data is gone
+    if fs.exists(digest_root):
+        for st in fs.listStatus(digest_root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("delta=")):
+                continue
+            run_id = name[len("delta=") :]
+            for pst in fs.listStatus(st.getPath()):
+                pname = pst.getPath().getName()
+                if not (pst.isDirectory() and pname.startswith("partition_id=")):
+                    continue
+                try:
+                    pid = int(pname.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if (run_id, pid) not in completed:
+                    fs.delete(pst.getPath(), True)
+                    removed += 1
+                    _LOG.warning(
+                        "reconcile: removed orphan digest dir %s/%s", name, pname
+                    )
+    if removed:
+        # drop now-dataless delta dirs (only _SUCCESS/hidden markers left):
+        # an all-dirs-no-files tree would fail parquet schema inference on
+        # the next read (which is deliberately NOT treated as "first run" —
+        # see _read_parquet_if_exists)
+        def _dataless(p):
+            return all(
+                s.getPath().getName().startswith(("_", "."))
+                for s in fs.listStatus(p)
+            )
+
+        for parent in (digest_root, root):
+            if not fs.exists(parent):
+                continue
+            for st in fs.listStatus(parent):
+                if (
+                    st.isDirectory()
+                    and st.getPath().getName().startswith("delta=")
+                    and _dataless(st.getPath())
+                ):
+                    fs.delete(st.getPath(), True)
+            if parent is digest_root and len(fs.listStatus(parent)) == 0:
+                fs.delete(parent, True)
+    return removed
+
+
 def run_incremental(
     spark: SparkSession,
     pages: DataFrame,
@@ -128,12 +248,17 @@ def run_incremental(
     partition overwrites: a partition marked completed always has its
     digests, so even if the crawl input GROWS between a crash and the
     retry (new snapshot id), committed urls anti-join out and are never
-    re-extracted into the new delta (ADVICE r2).  The residual window — a
-    crash after a wave's digest write but before its checkpoint row — only
-    re-runs that wave, overwriting both stores in place.
+    re-extracted into the new delta (ADVICE r2).  Before the anti-join,
+    ``reconcile_orphan_partitions`` removes any partition dir whose wave
+    died between its data commit and its checkpoint row (data present,
+    digests and/or checkpoint row lost): those urls rejoin the delta and
+    extract exactly once — without reconcile a grown input would compute
+    a new snapshot and re-extract them beside the orphaned copy
+    (ADVICE r3).
     """
     digest_path = f"{output_path}/_url_digests"
     if use_digest_table:
+        reconcile_orphan_partitions(spark, output_path, checkpoint_path)
         seen_keys = _read_parquet_if_exists(spark, digest_path)
         if seen_keys is None:  # first run: no digests yet
             new_pages = pages

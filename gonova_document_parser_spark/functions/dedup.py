@@ -450,24 +450,37 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-dup pair list -> (id, cluster_id).
 
-    Min-label propagation: every node starts labeled with its own id; each
-    round takes the min over its neighbors' labels; fixpoint when the label
-    sum stops decreasing (labels are monotone non-increasing, so the sum is
-    a complete convergence witness).  Rounds = graph diameter — near-dup
-    clusters are shallow (cliques + short chains), so this converges in a
-    handful of rounds; for adversarial long-path graphs at 100 TB the
-    large-star/small-star variant (Kiveris et al., "Connected Components in
-    MapReduce") halves path lengths per round — the pair generators here
-    (band/bucket equi-joins) don't produce such graphs, so the simple
-    propagation is the right default.
+    ``algorithm="label"`` (default) — min-label propagation: every node
+    starts labeled with its own id; each round takes the min over its
+    neighbors' labels; fixpoint when NO label changes in a round (the
+    changed-row count is computed on the same checkpointed round result
+    the next join reuses, and is type-agnostic — it works for string /
+    url ids where a numeric label-sum witness would silently NULL out
+    under the implicit cast and stop after round 1).  Rounds = graph
+    diameter — near-dup clusters are shallow (cliques + short chains),
+    so this converges in a handful of rounds.
 
-    Each round is one equi-join + one groupBy(min); ``localCheckpoint``
-    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
-    Driver-side state is one scalar (the label sum) per round.
+    ``algorithm="star"`` — alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"): rounds grow
+    with log(diameter), not diameter, so adversarial long-path graphs
+    (a 10k-node chain) converge in ~tens of rounds instead of 10k.  The
+    pair generators here (band/bucket equi-joins) produce shallow
+    graphs, so "label" stays the default; "star" is the documented
+    escalation for pathological chains at 100 TB.
+
+    Each round is a bounded number of equi-joins + groupBy(min);
+    ``localCheckpoint`` truncates the growing lineage so round N doesn't
+    replay rounds 1..N-1.  Driver-side state is one scalar per round.
     """
+    if algorithm == "star":
+        labels, _ = _cc_large_small_star(pairs, id_a, id_b, max_iter)
+        return labels
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -480,7 +493,6 @@ def connected_components(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -488,19 +500,104 @@ def connected_components(
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("dst", "nid")
         )
-        labels = (
+        upd = (
             labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
             .select(
                 "id",
+                F.col("lbl").alias("_old"),
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
             .localCheckpoint(eager=False)
         )
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
-        if s == prev_sum:
+        changed = upd.where(F.col("lbl") != F.col("_old")).count()
+        labels = upd.select("id", "lbl")
+        if changed == 0:
             break
-        prev_sum = s
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def _cc_large_small_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 60,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014).
+
+    Per round:
+      large-star — every node u connects its STRICTLY LARGER neighbors to
+        m = min(N(u) ∪ {u}): emit (v, m) for v ∈ N(u), v > u;
+      small-star — on the canonical larger→smaller edge set, every node u
+        connects itself and its neighbors to m = min(N(u)): emit (u, m)
+        and (v, m) for v ∈ N(u) \\ {m}.
+
+    Both steps preserve connectivity and strictly shrink path lengths
+    (roughly halving per round), converging to star graphs rooted at each
+    component's minimum node in O(log n) practical rounds — the property
+    test plants a 10k-node path and asserts rounds ≪ n.  Convergence is
+    witnessed by edge-set equality (new ⊆ old via subtract-count, plus
+    equal distinct counts), which is type-agnostic like the label-count
+    witness above.
+
+    Returns (labels, rounds_used); labels is (id, cluster_id) with
+    cluster_id = the component's min node id — identical contract to
+    min-label propagation (asserted equal on shared fixtures in tests).
+    """
+    raw = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col(id_a) != F.col(id_b))
+        .distinct()
+    )
+    nodes = (
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
+        .union(
+            pairs.where(F.col(id_a) == F.col(id_b)).select(F.col(id_a).alias("id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # canonical form: one row per undirected edge, src > dst
+    e = (
+        raw.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select("src", F.least("src", "mn").alias("m"))
+        # large-star: (v, m) for v ∈ N(u), v > u  — canonical since m ≤ u < v
+        ls = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on canonical hi→lo edges: every neighbor is < u
+        mins2 = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        part_self = mins2.select("src", F.col("m").alias("dst"))
+        part_nbr = (
+            ls.join(mins2, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e_new = part_self.union(part_nbr).distinct().localCheckpoint(eager=False)
+        n_new = e_new.count()
+        if n_new == n_edges and e_new.subtract(e).count() == 0:
+            e = e_new
+            break
+        e, n_edges = e_new, n_new
+    star = e.select(F.col("src").alias("id"), F.col("dst").alias("root"))
+    labels = nodes.join(star, "id", "left").select(
+        "id", F.coalesce("root", "id").alias("cluster_id")
+    )
+    return labels, rounds
 
 
 def dedup_clusters(

@@ -88,6 +88,7 @@ def domain_cap(
     key_col: str = "source",
     order_col: str | None = None,
     id_col: str = "doc_id",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Cap rows per domain/source — the anti-domination quota.
 
@@ -95,9 +96,26 @@ def domain_cap(
     mix; public pipelines cap documents per domain.  Keeps the top
     ``max_per_key`` rows per key, ranked by ``order_col`` DESC (e.g. a
     quality score; None ranks by ``id_col`` ASC alone), with ``id_col``
-    ASC as the deterministic tiebreak.  One key shuffle (row_number
-    window), no join-back; the window never materializes more than a
-    partition's run of one key.
+    ASC as the deterministic tiebreak.
+
+    Two-phase salted top-N, because the target workload IS the skewed
+    case (one hot host holding half the crawl): a single
+    ``row_number() over (partition by key)`` would shuffle every row of
+    the hot key into ONE task's sort.  Instead:
+
+      phase 1: partial top-``max_per_key`` per ``(key, salt)`` where
+        salt = pmod(xxhash64(id), n_salts) — the hot key's rows sort in
+        ``n_salts`` parallel tasks, each emitting at most ``max_per_key``
+        survivors;
+      phase 2: final top-``max_per_key`` window per ``key`` over the
+        ≤ ``n_salts × max_per_key`` survivors — a bounded, tiny sort.
+
+    The keeper set is byte-identical to the single-window form: any row
+    in the global top-N of its key is necessarily in the top-N of its
+    own ``(key, salt)`` cell, so phase 1 never drops a global keeper
+    (proved against the one-window form in tests).  Salting is
+    deterministic (hash of ``id_col``, no ``rand()``), so retries and
+    resumed runs reproduce the identical sample.
     """
     from pyspark.sql import Window
 
@@ -106,9 +124,15 @@ def domain_cap(
         if order_col is not None
         else [F.col(id_col).asc()]
     )
-    w = Window.partitionBy(F.col(key_col)).orderBy(*order)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int")
+    partial = Window.partitionBy(F.col(key_col), F.col("_salt")).orderBy(*order)
+    final = Window.partitionBy(F.col(key_col)).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(partial))
         .where(F.col("_rn") <= max_per_key)
         .drop("_rn")
+        .withColumn("_rn", F.row_number().over(final))
+        .where(F.col("_rn") <= max_per_key)
+        .drop("_rn", "_salt")
     )

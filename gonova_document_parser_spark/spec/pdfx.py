@@ -61,10 +61,43 @@ TJ_SPACE_THRESHOLD = -180.0  # offset <= this emits one space (pinned spec)
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 # /Encrypt in the trailer dict (an indirect ref) marks an encrypted file
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """True iff the document's TRAILER declares /Encrypt.
+
+    The /Encrypt key is only live in the trailer dictionary (classic
+    layout) or the /Type /XRef stream dictionary (PDF 1.5+ layout) — so
+    the search is scoped there.  Searching the whole byte stream would
+    misclassify a benign PDF whose page content merely mentions
+    ``/Encrypt 5 0 R`` (uncompressed stream or literal string) as
+    encrypted, deterministically reporting 0 chars and misrouting a doc
+    with a real text layer to the OCR path.
+    """
+    for tm in re.finditer(rb"trailer\b", data):
+        # the trailer keyword is followed by the trailer DICT; a prose
+        # mention of "trailer" in page content has no << >> dict after it
+        j = tm.end()
+        while j < len(data) and data[j : j + 1] in b" \t\r\n":
+            j += 1
+        d = _balanced_dict(data, j)
+        if d is not None and _ENCRYPT_RE.search(d) is not None:
+            return True
+    # xref-stream layout: no "trailer" keyword; the trailer keys live in
+    # the /Type /XRef stream dict
+    for m in _XREF_TYPE_RE.finditer(data):
+        start = data.rfind(b"<<", 0, m.start())
+        if start == -1:
+            continue
+        d = _balanced_dict(data, start)
+        if d is not None and _ENCRYPT_RE.search(d) is not None:
+            return True
+    return False
 
 
 def _scan_objects(data: bytes) -> dict[int, bytes]:
@@ -78,7 +111,10 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
     packed: dict[int, bytes] = {}
     for body in list(objs.values()):
-        if b"/ObjStm" not in body:
+        # require the /Type /ObjStm declaration — a content stream or
+        # string merely CONTAINING the literal "/ObjStm" is not one, and
+        # int()-parsing its bytes as a header would raise
+        if re.search(rb"/Type\s*/ObjStm\b", body) is None:
             continue
         stream = _stream_bytes(body)
         if stream is None:
@@ -91,9 +127,14 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         header = stream[:first].split()
         if len(header) < 2 * n_objs:
             continue
-        pairs = [
-            (int(header[2 * k]), int(header[2 * k + 1])) for k in range(n_objs)
-        ]
+        try:
+            pairs = [
+                (int(header[2 * k]), int(header[2 * k + 1])) for k in range(n_objs)
+            ]
+        except ValueError:
+            # malformed header (non-integer tokens): skip this candidate
+            # instead of turning an extractable doc into an error row
+            continue
         for k, (num, off) in enumerate(pairs):
             end = first + pairs[k + 1][1] if k + 1 < n_objs else len(stream)
             packed[num] = stream[first + off : end]
@@ -698,7 +739,7 @@ def parse_pdf(data: bytes) -> tuple[list[list[tuple[str, str]]], int]:
     blocks come from — classify+extract share one parse (the reference's
     single-pass rule, ``OPTIMIZATIONS.md:5-11``).
     """
-    if _ENCRYPT_RE.search(data) is not None:
+    if _is_encrypted(data):
         # encrypted document: streams/strings are RC4/AES ciphertext — there
         # is no readable text layer, so report 0 chars and let the 50-char
         # rule route the document to the scanned/OCR path deterministically
@@ -725,7 +766,7 @@ def extract_pdf_pages(data: bytes) -> list[list[tuple[str, str]]]:
 
 def pdf_text_len(data: bytes) -> int:
     """Total extractable text-layer characters (classifier's 50-char rule)."""
-    if _ENCRYPT_RE.search(data) is not None:
+    if _is_encrypted(data):
         return 0  # ciphertext streams: no readable text layer (see parse_pdf)
     total = 0
     for stream, fonts in _page_streams_with_fonts(data):

@@ -250,6 +250,74 @@ def test_digest_mode_grown_input_after_midrun_crash(spark, paths, tmp_path):
     assert dig.select("url_digest").distinct().count() == 90
 
 
+def test_digest_mode_data_committed_digests_lost_crash(spark, paths, tmp_path):
+    """ADVICE r3 residual window: a kill BETWEEN a wave's data commit and
+    its digest commit leaves extracted rows under delta=S1 with no
+    digests.  With a grown input, the retry computes a new snapshot and
+    would re-extract those urls under delta=S2 while the orphaned
+    delta=S1 dirs remain — duplicate urls in whole-output reads.
+    reconcile_orphan_partitions removes the orphan dirs first, so every
+    url appears exactly once."""
+    import glob
+
+    from gonova_document_parser_spark.checkpoint import run_incremental
+
+    out, ckpt = paths
+    first = generate_pages(spark, 60, num_partitions=2)
+    s1 = run_incremental(
+        spark, first, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    snap = s1["run_id"]
+    # simulate dying between wave 2's data write and its digest write:
+    # partitions 2,3 KEEP their data but lose digests + checkpoint rows
+    # (the harder suffix of the data -> digests -> ckpt commit order)
+    kept = spark.read.parquet(ckpt).where(F.col("partition_id") < 2)
+    ckpt2 = str(tmp_path / "ckpt2")
+    kept.write.parquet(ckpt2)
+    for pid in (2, 3):
+        for p in glob.glob(f"{out}/_url_digests/delta={snap}/partition_id={pid}"):
+            shutil.rmtree(p)
+    # orphaned data rows exist right now
+    assert spark.read.parquet(out).count() == 60
+
+    grown = generate_pages(spark, 90, num_partitions=2)  # crawl grew mid-crash
+    run_incremental(
+        spark, grown, out, ckpt2, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    result = spark.read.parquet(out)
+    assert result.select("url").distinct().count() == 90
+    assert result.count() == 90  # orphans reconciled away, no duplicates
+    dig = spark.read.parquet(f"{out}/_url_digests")
+    assert dig.select("url_digest").distinct().count() == 90
+    # invariant restored: every surviving partition dir has a completed row
+    import os
+
+    ck = spark.read.parquet(ckpt2).where(F.col("status") == "completed")
+    have_rows = {(r["run_id"], r["partition_id"]) for r in ck.collect()}
+    for delta_dir in glob.glob(f"{out}/delta=*"):
+        rid = os.path.basename(delta_dir).split("=", 1)[1]
+        for pdir in glob.glob(f"{delta_dir}/partition_id=*"):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            assert (rid, pid) in have_rows
+
+
+def test_reconcile_noop_on_healthy_output(spark, paths):
+    """reconcile must not touch a healthy incremental output."""
+    from gonova_document_parser_spark.checkpoint import (
+        reconcile_orphan_partitions,
+        run_incremental,
+    )
+
+    out, ckpt = paths
+    pages = generate_pages(spark, 40, num_partitions=2)
+    run_incremental(
+        spark, pages, out, ckpt, n_partitions=4, n_waves=2, use_digest_table=True
+    )
+    assert reconcile_orphan_partitions(spark, out, ckpt) == 0
+    assert spark.read.parquet(out).count() == 40
+    assert spark.read.parquet(f"{out}/_url_digests").count() == 40
+
+
 def test_read_fallback_scoped_to_missing_path(spark, paths):
     """ADVICE r2: only a MISSING output/digest path means 'first run'.  An
     existing-but-unreadable path (here: a dir with no parquet) re-raises

@@ -799,6 +799,41 @@ def test_connected_components_matches_union_find_on_random_graph(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
     assert got == expect
+    # large-star/small-star must produce the identical labeling
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert star == expect
+
+
+def test_connected_components_string_ids_converge(spark):
+    """Regression for the label-sum convergence witness: string ids made
+    sum(lbl) NULL, so the old witness compared None == None after round 1
+    and exited with unconverged labels on any diameter-3+ component."""
+    from gonova_document_parser_spark.functions.dedup import connected_components
+
+    # a diameter-4 path of url-like string ids
+    urls = [f"https://ex.com/p{i}" for i in range(5)]
+    edges = [(urls[i], urls[i + 1]) for i in range(4)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {u: urls[0] for u in urls}
+
+
+def test_large_small_star_path_graph_log_rounds(spark):
+    """Kiveris et al. property: a planted 10k-node path converges in
+    ~log-n rounds, not n — the adversarial-chain escalation min-label
+    propagation can't handle (it would need 10k rounds)."""
+    from gonova_document_parser_spark.functions.dedup import _cc_large_small_star
+
+    n = 10_000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels, rounds = _cc_large_small_star(df, max_iter=60)
+    assert rounds <= 40, f"path graph took {rounds} rounds — not log-n behavior"
+    agg = labels.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1 and agg[0]["cluster_id"] == 0 and agg[0]["count"] == n
 
 
 def test_domain_cap_quota_and_ranking(spark):
@@ -816,6 +851,55 @@ def test_domain_cap_quota_and_ranking(spark):
     # by lowest doc_id
     assert sorted(by_src["big"]) == [5, 6, 13]
     assert sorted(by_src["small"]) == [20, 24, 25]
+
+
+def test_domain_cap_salted_matches_single_window(spark):
+    """The two-phase salted cap keeps the EXACT same rows as the naive
+    one-window form, on a hot-key shape (one source holding ~50% of rows)
+    and across salt counts — the byte-identity proof VERDICT r3 #2 asks
+    for."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from gonova_document_parser_spark.functions.sampling import domain_cap
+
+    rows = [
+        (i, "hot.example" if i % 2 == 0 else f"s{i % 7}", float((i * 37) % 101))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    naive = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    expect = sorted(tuple(r) for r in naive.collect())
+    for n_salts in (1, 4, 16):
+        got = sorted(
+            tuple(r)
+            for r in domain_cap(
+                df, 5, key_col="source", order_col="q", n_salts=n_salts
+            ).collect()
+        )
+        assert got == expect, f"n_salts={n_salts} diverged from one-window cap"
+
+
+def test_domain_cap_plan_has_salted_partial_window(spark):
+    """The executed plan must show the phase-1 window keyed by
+    (key, _salt) — i.e. the hot key's sort is split across salt cells,
+    not serialized through one task."""
+    from gonova_document_parser_spark.functions.sampling import domain_cap
+
+    rows = [(i, "hot", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    plan = (
+        domain_cap(df, 3, key_col="source", order_col="q")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan  # phase-1 partial window partitions on (source, _salt)
 
 
 def test_top_ngrams_plan_uses_topk_not_full_sort(spark):

@@ -230,6 +230,73 @@ def test_encrypted_pdf_routes_to_scanned():
     assert pdf_text_len(data) > 0
 
 
+def test_encrypt_mention_in_page_content_is_not_encryption():
+    """A benign PDF whose page TEXT mentions '/Encrypt 5 0 R' (e.g. a doc
+    about PDF internals) must NOT be misrouted to the OCR path: the
+    /Encrypt key is only live in the trailer / XRef-stream dict."""
+    content = (
+        b"BT 1 0 0 1 50 700 Tm "
+        b"(the trailer key /Encrypt 5 0 R marks encrypted files) Tj ET"
+    )
+    data = _doc([content])
+    assert b"/Encrypt 5 0 R" in data  # prose mention, no trailer << >> dict
+    assert pdf_text_len(data) > 0
+    pages = extract_pdf_pages(data)
+    assert "/Encrypt 5 0 R" in pages[0][0][1]
+
+
+def test_encrypt_in_xref_stream_dict_is_detected():
+    """PDF 1.5+ layout: no 'trailer' keyword — the /Encrypt key lives in
+    the /Type /XRef stream dictionary and must still route to scanned."""
+    content = b"BT 1 0 0 1 50 700 Tm (would be ciphertext) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        6: b"<< /Type /XRef /Size 7 /Encrypt 5 0 R /W [1 2 1] >>",
+    }
+    data = _pdf(objs)
+    assert b"trailer" not in data
+    assert pdf_text_len(data) == 0
+    assert extract_pdf_pages(data) == []
+
+
+def test_objstm_mention_without_type_is_not_unpacked():
+    """An object whose content merely CONTAINS the literal '/ObjStm' (with
+    a garbage non-integer 'header') must be skipped, not raise ValueError
+    and turn the doc into an error row."""
+    content = b"BT 1 0 0 1 50 700 Tm (discusses /ObjStm layout) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        # hostile: mentions /ObjStm, carries /N and /First, but the stream
+        # "header" is prose, not integer pairs
+        5: b"<< /Filter /Fake >> about /ObjStm /N 2 /First 10 \nstream\nnot an int header\nendstream",
+    }
+    pages = extract_pdf_pages(_pdf(objs))
+    assert pages[0][0][1] == "discusses /ObjStm layout"
+
+
+def test_objstm_bad_integer_header_is_skipped():
+    """A true /Type /ObjStm whose header bytes fail int() parsing is
+    skipped gracefully (decl says N pairs but the bytes are junk)."""
+    junk = b"12 zero 34 huh\n"  # non-integer tokens in pair positions
+    comp = zlib.compress(junk + b"<< /Type /Catalog >>")
+    content = b"BT 1 0 0 1 50 700 Tm (direct object text) Tj ET"
+    objs = {
+        4: b"<< /Type /ObjStm /N 2 /First %d /Filter /FlateDecode >>\nstream\n"
+        % len(junk)
+        + comp
+        + b"\nendstream",
+        5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+    }
+    pages = extract_pdf_pages(_pdf(objs))
+    assert pages[0][0][1] == "direct object text"
+
+
 def test_text_layer_len_threshold():
     short = b"BT 1 0 0 1 50 700 Tm (tiny) Tj ET"
     assert pdf_text_len(_doc([short])) == 4
