@@ -665,6 +665,25 @@ def _q_dup_spans(spark, sf_dir):
     return duplicated_spans(d.unionByName(partial), window=10)
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring corpus surgery over the same planted-copy corpus as
+    dup_spans: every duplicated 10-token window keeps its first
+    occurrence corpus-wide (min (doc_id, pos)) and loses every other
+    occurrence's covered tokens.  The oracle replays first-occurrence
+    selection (ROW_NUMBER over (wh ORDER BY doc_id, pos)), the per-doc
+    duplicate-start list, and the indexed token filter in DuckDB —
+    byte-exact clean_text including untouched docs."""
+    from gonova_document_parser_spark.functions.dedup import remove_duplicated_spans
+    from gonova_document_parser_spark.functions.textstats import tokens_expr
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    partial = d.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.array_join(F.slice(tokens_expr("text"), 1, 20), " ").alias("text"),
+    )
+    return remove_duplicated_spans(d.unionByName(partial), window=10)
+
+
 def _host_graph_df(spark, sf_dir):
     """Rendered pages -> host link graph, with one planted cross-host link
     per page (partner-(doc_id%5).example.net) appended to the html string.
@@ -1049,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "latest_snapshot": _q_latest_snapshot,
         "dup_spans": _q_dup_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "domain_cap": _q_domain_cap,
@@ -1689,6 +1709,51 @@ def oracle_sql() -> dict[str, str]:
                               THEN c.covered * 1.0 / len(t.w)
                               ELSE 0.0 END, 6)::DOUBLE AS dup_frac
             FROM words t LEFT JOIN cov c USING (doc_id)
+        """,
+        "remove_dup_spans": """
+            WITH base AS (SELECT doc_id, text FROM documents),
+            aug AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + 8000000 AS doc_id,
+                       array_to_string(
+                         (string_split_regex(lower(trim(text)), '\\s+'))[1:20],
+                         ' ') AS text
+                FROM base WHERE doc_id < 15),
+            words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM aug),
+            wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(w[i:i+9], ' ')) AS wh
+                FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+                WHERE len(w) >= 10),
+            dupw AS (
+                SELECT wh FROM wins
+                GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+            occ AS (
+                SELECT v.doc_id, v.pos,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY v.wh ORDER BY v.doc_id, v.pos) AS rn
+                FROM wins v JOIN dupw USING (wh)),
+            hit AS (
+                SELECT doc_id, list_sort(list_distinct(list(pos))) AS ps
+                FROM occ WHERE rn > 1 GROUP BY doc_id),
+            kept AS (
+                SELECT t.doc_id,
+                       list_filter(t.w, (x, i) ->
+                         len(list_filter(COALESCE(h.ps, []),
+                             p -> (i - 1) >= p AND (i - 1) <= p + 9)) = 0
+                       ) AS kw,
+                       len(t.w) AS n_toks
+                FROM words t LEFT JOIN hit h USING (doc_id))
+            SELECT doc_id,
+                   -- array_to_string([]) is NULL in DuckDB; Spark's
+                   -- concat_ws on an empty array is '' — align on ''
+                   COALESCE(array_to_string(kw, ' '), '') AS clean_text,
+                   len(kw)::INT AS n_kept,
+                   (n_toks - len(kw))::INT AS n_removed
+            FROM kept
         """,
         "top_ngrams": """
             WITH words AS (

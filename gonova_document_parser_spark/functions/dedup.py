@@ -770,3 +770,83 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus surgery for exact duplicated substrings (the actual removal
+    step of "Deduplicating Training Data Makes Language Models Better" —
+    ``duplicated_spans`` above is the read-only coverage signal, this
+    emits the cleaned text).
+
+    Pinned deterministic rule — keep the FIRST occurrence corpus-wide:
+    a token window of length ``window`` is duplicated when its exact
+    content appears in >= 2 distinct documents; among all its occurrences
+    the one with the smallest ``(doc_id, pos)`` is the keeper, every
+    other occurrence is a *duplicate occurrence*.  A token is removed
+    iff it is covered by the interval union of its document's
+    duplicate-occurrence windows ``[pos, pos+window-1]``.  First
+    occurrences thus survive verbatim; repeats lose exactly the
+    duplicated span, and the rule is total-order deterministic (no
+    tie depends on execution order).
+
+    Returns (id_col, clean_text, n_kept, n_removed).  ``clean_text`` is
+    the space-join of surviving tokens of the NORMALIZED stream
+    (lowercased, whitespace-split — same tokenization every dedup
+    operator here uses), preserving original token order.
+
+    Scale shape: same as ``duplicated_spans`` — 16-byte md5 shuffle keys
+    for the corpus-wide window count, first-occurrence selection is one
+    ``min(struct(doc_id, pos))`` riding the same groupBy, join-back by
+    hash, and the per-doc removal is pure array math (an indexed
+    ``filter`` over the token array against the sorted duplicate starts;
+    O(n_tokens x n_dup_spans) per doc, no explode of covered positions).
+    """
+    wins = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.posexplode(shingle_array_expr(text_col, window)).alias("pos", "win"),
+    ).select(id_col, "pos", F.md5("win").alias("wh"))
+    firsts = (
+        wins.groupBy("wh")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("first"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("wh", "first")
+    )
+    dup_occ = (
+        wins.join(firsts, "wh")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    per_doc = dup_occ.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("ps")
+    )
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    joined = toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "toks",
+        F.coalesce("ps", F.array().cast("array<int>")).alias("ps"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — tiny local predicate
+        F.col("ps"), lambda p: (i >= p) & (i <= p + F.lit(window - 1))
+    )
+    kept = F.filter(F.col("toks"), lambda x, i: ~covered(i))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+    )

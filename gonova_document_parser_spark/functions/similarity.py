@@ -373,14 +373,19 @@ def ann_topk_lsh_quantized(
 
 
 def input_content_digest(path: str) -> str:
-    """md5 digest of a parquet file's (or directory's) raw bytes.
+    """md5 digest of a parquet file's (or directory's) raw data bytes.
 
     Keys materialized artifacts (e.g. an IVF index) to the CONTENT of their
     input: two different corpora — or two versions of one corpus — can never
     serve each other's index, and a stale index from an earlier corpus
     version is unreachable because its path no longer matches.  Hidden files
-    (`_SUCCESS`, `.crc`) are skipped so a Spark rewrite of identical data
-    keys identically.
+    (`_SUCCESS`, `.crc`) are skipped, and file BASENAMES are excluded from
+    the hash (Spark part-file names embed per-write random UUIDs).  Note the
+    deliberately narrow guarantee: a byte-identical copy of the files keys
+    identically, but a Spark REWRITE of the same rows generally does not —
+    parquet encodings/metadata aren't byte-stable across writes — so a
+    rewrite costs one redundant index rebuild (a cache miss, never a
+    correctness issue, because the key moves WITH the bytes).
     """
     import hashlib
     import os
@@ -398,7 +403,6 @@ def input_content_digest(path: str) -> str:
     else:
         files = [path]
     for f in files:
-        h.update(os.path.basename(f).encode())
         with open(f, "rb") as fh:
             for chunk in iter(lambda: fh.read(1 << 20), b""):
                 h.update(chunk)

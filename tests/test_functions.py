@@ -768,6 +768,78 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_remove_duplicated_spans_first_occurrence_survives(spark):
+    """Pinned rule: the corpus-wide first occurrence (min (doc_id, pos))
+    keeps its text verbatim; every other occurrence loses exactly the
+    covered tokens, order preserved."""
+    from gonova_document_parser_spark.functions.dedup import remove_duplicated_spans
+
+    span = " ".join(f"w{i}" for i in range(10))
+    d1 = f"{span} unique tail one"
+    d2 = f"front part here {span} and more text"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=10).collect()}
+    assert out[1]["clean_text"] == d1
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "front part here and more text"
+    assert out[2]["n_removed"] == 10 and out[2]["n_kept"] == 6
+
+
+def test_remove_duplicated_spans_overlapping_windows_union(spark):
+    """Two overlapping duplicated windows in one doc remove the UNION of
+    their covered tokens, not double-count it."""
+    from gonova_document_parser_spark.functions.dedup import remove_duplicated_spans
+
+    run = " ".join(f"t{i}" for i in range(6))  # 6 shared tokens -> 3 windows of 4
+    d1 = f"{run} alpha beta"
+    d2 = f"x y {run} z"
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=4).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_removed"] == 6
+
+
+def test_remove_duplicated_spans_matches_python_reference(spark):
+    """Seeded random corpus vs a pure-Python replica of the pinned rule."""
+    import random
+
+    from gonova_document_parser_spark.functions.dedup import remove_duplicated_spans
+
+    rng = random.Random(4242)
+    vocab = [f"v{i}" for i in range(12)]
+    w = 4
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(w, 25))))
+        for i in range(80)
+    ]
+    # python replica
+    occs: dict[str, list[tuple[int, int]]] = {}
+    toks = {i: t.split() for i, t in docs}
+    for i, tk in toks.items():
+        for p in range(len(tk) - w + 1):
+            occs.setdefault(" ".join(tk[p : p + w]), []).append((i, p))
+    expect = {}
+    removed_at = {i: set() for i, _ in docs}
+    for win, lst in occs.items():
+        if len({d for d, _ in lst}) < 2:
+            continue
+        first = min(lst)
+        for d, p in lst:
+            if (d, p) != first:
+                removed_at[d].update(range(p, p + w))
+    for i, tk in toks.items():
+        kept = [t for j, t in enumerate(tk) if j not in removed_at[i]]
+        expect[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicated_spans(df, window=w).collect()
+    }
+    assert got == expect
+
+
 def test_connected_components_matches_union_find_on_random_graph(spark):
     import random
 
