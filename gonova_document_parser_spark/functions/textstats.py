@@ -11,6 +11,8 @@ string heuristics (``nanonets_processor.py:261-279`` signature keyword scan,
 
 from __future__ import annotations
 
+import pandas as pd  # real import: pandas_udf resolves the signature hints
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -163,3 +165,51 @@ def doc_fingerprint(col: str | Column = "text") -> Column:
     Engine-internal hashing (minhash/simhash buckets) uses xxhash64 instead.
     """
     return F.md5(normalized_text_expr(col))
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched pandas UDF: text -> array<string> of real BPE tokens.
+
+    The engine twin of ``spec.bpe.encode`` — the UDF body IS the spec
+    function, so spec-vs-engine identity is structural (pinned anyway in
+    tests/test_bpe.py over the committed merges fixture).  Merges ship to
+    executors once via closure capture (a ~200-entry list — broadcast-
+    trivial); a per-batch word cache exploits Zipfian word frequency so
+    each distinct word in a batch is merge-encoded once.
+
+    This is deliberately NOT used by any driver query: DuckDB parity
+    there stays on the RE2-safe pre-tokenizer count
+    (``bpe_token_count_expr``), and the plan guard keeps BatchEvalPython
+    out of driver plans.  Use this UDF when the budget number must be
+    merge-table-exact (e.g. before paying for a training run).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..spec.bpe import encode
+
+    @pandas_udf(ArrayType(StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: encode(t, merges, _cache=cache) if t is not None else []
+        )
+
+    return _encode
+
+
+def bpe_token_count_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched pandas UDF: text -> exact merge-table BPE token count."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from ..spec.bpe import encode
+
+    @pandas_udf(IntegerType())
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: len(encode(t, merges, _cache=cache)) if t is not None else 0
+        )
+
+    return _count
