@@ -18,8 +18,6 @@ a separate conversion job; schema matches FIXTURES.md §1.
 
 from __future__ import annotations
 
-import gzip
-import io
 from collections.abc import Iterator
 from datetime import datetime
 from typing import TYPE_CHECKING
@@ -43,10 +41,71 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return headers
 
 
+def _decode_chunked(body: bytes) -> bytes | None:
+    """HTTP/1.1 chunked transfer-encoding decode, truncation-tolerant.
+
+    Returns the de-chunked bytes; a body truncated mid-chunk yields the
+    decoded prefix (bounded data loss, never an exception); a body whose
+    first size line isn't hex returns None so the caller can keep the
+    raw bytes (some archived responses carry the header but a
+    pre-decoded body).  Trailer headers after the 0-chunk are ignored.
+    """
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol == -1:
+            return None if pos == 0 else bytes(out)
+        size_token = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return None if pos == 0 else bytes(out)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        out += body[pos : pos + size]
+        if len(body) < pos + size + 2:
+            return bytes(out)  # truncated mid-chunk: keep the prefix
+        pos += size + 2  # skip the chunk's trailing CRLF
+
+
+def _gunzip_best_effort(data: bytes) -> bytes:
+    """Multi-member gzip decode that survives a truncated final member.
+
+    Real Common-Crawl .warc.gz files are member-per-record concatenations;
+    an interrupted fetch leaves the last member truncated.  ``gzip.read``
+    raises EOFError there — a task failure poisoning the whole file — so
+    decode member-by-member with zlib and keep every byte that decodes
+    (the truncated tail becomes at most one short/absent record, which
+    downstream extraction turns into a bounded error row).
+    """
+    import zlib
+
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated member: keep its decoded prefix
+        pos = len(data) - len(d.unused_data)
+    return bytes(out)
+
+
 def iter_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield {'url', 'warc_ts', 'body'} for each response record."""
+    """Yield {'url', 'warc_ts', 'body'} for each response record.
+
+    The HTTP envelope is genuinely parsed: ``Transfer-Encoding: chunked``
+    bodies are de-chunked and ``Content-Encoding: gzip`` payloads are
+    decompressed (in that order — transfer coding wraps content coding),
+    both truncation-tolerant, matching what a real crawl serves.
+    """
     if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member) archive
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        data = _gunzip_best_effort(data)
     pos = 0
     n = len(data)
     while pos < n:
@@ -74,12 +133,21 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             )
         except ValueError:
             ts = None
-        # strip the HTTP response envelope if present
+        # strip the HTTP response envelope if present, honoring its
+        # transfer/content codings
         body = payload
         if payload[:5] == b"HTTP/":
             sep = payload.find(_CRLF + _CRLF)
             if sep != -1:
+                http_headers = _parse_headers(payload[:sep])
                 body = payload[sep + 4 :]
+                if b"chunked" in http_headers.get(b"transfer-encoding", b"").lower():
+                    dechunked = _decode_chunked(body)
+                    if dechunked is not None:
+                        body = dechunked
+                enc = http_headers.get(b"content-encoding", b"").strip().lower()
+                if enc in (b"gzip", b"x-gzip") and body[:2] == b"\x1f\x8b":
+                    body = _gunzip_best_effort(body)
         yield {"url": url, "warc_ts": ts, "body": body}
 
 

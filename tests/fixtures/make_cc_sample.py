@@ -23,6 +23,14 @@ page-level constructs:
     matrix and octal string escapes (the spec/pdfx long-tail paths)
   - a truncated binary response and an empty-body response (error rows)
 
+transfer encodings (the highest-frequency real-CC constructs):
+  - ``Transfer-Encoding: chunked`` body (chunk extension + trailer header)
+  - ``Content-Encoding: gzip`` body (member mtime pinned to 0)
+  - chunked-wrapping-gzip (de-chunk must happen BEFORE gunzip)
+  - a gzip BODY truncated mid-member (best-effort prefix, bounded row)
+  - a final archive MEMBER truncated mid-stream (interrupted fetch: all
+    prior records survive, the tail is lost/partial, never an exception)
+
 Deterministic: fixed texts, fixed timestamps, gzip mtime=0 — re-running
 this script reproduces the committed fixture byte-for-byte
 (tests/test_warc.py pins its sha256).
@@ -57,6 +65,49 @@ def _response(url: bytes, ts: bytes, body: bytes, ctype: bytes = b"text/html") -
         + b"Content-Length: " + str(len(body)).encode() + CRLF
         + CRLF
         + body
+    )
+    return _record(b"response", url, ts, http)
+
+
+def _gz_bytes(body: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(body)
+    return buf.getvalue()
+
+
+def _chunk(body: bytes, sizes: tuple[int, ...]) -> bytes:
+    """HTTP/1.1 chunked transfer coding of ``body`` with given chunk sizes
+    (last chunk takes the remainder), one chunk extension, and a trailer
+    header after the 0-chunk — the shapes real origin servers emit."""
+    out = bytearray()
+    pos = 0
+    for k, sz in enumerate(sizes):
+        piece = body[pos : pos + sz]
+        ext = b";ext=1" if k == 1 else b""
+        out += hex(len(piece))[2:].encode() + ext + CRLF + piece + CRLF
+        pos += sz
+    rest = body[pos:]
+    if rest:
+        out += hex(len(rest))[2:].encode() + CRLF + rest + CRLF
+    out += b"0" + CRLF + b"X-Trailer: checksum" + CRLF + CRLF
+    return bytes(out)
+
+
+def _enc_response(
+    url: bytes,
+    ts: bytes,
+    payload: bytes,
+    extra_headers: list[bytes],
+    ctype: bytes = b"text/html",
+) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: " + ctype + CRLF
+        + b"Server: nginx/1.18.0" + CRLF
+        + CRLF.join(extra_headers) + CRLF
+        + CRLF
+        + payload
     )
     return _record(b"response", url, ts, http)
 
@@ -157,6 +208,45 @@ extractor has to normalize it without corrupting adjacent words.</p>
 </div></body></html>"""
     )
 
+    chunked_page = (
+        b"""<html><head><title>Chunked</title></head>
+<body><div><p>Chunked transfer encoding splits this article across
+several size-prefixed chunks; the parser must reassemble the body before
+any charset or density logic runs, or the hex size lines leak into the
+extracted text. This paragraph is deliberately long enough to span
+chunk boundaries mid-word and mid-tag.</p>
+<p>A trailer header follows the zero chunk and must be ignored.</p>
+</div></body></html>"""
+    )
+
+    gzip_page = (
+        b"""<html><head><title>Compressed</title></head>
+<body><div><p>Content-Encoding gzip is the single most common response
+coding a crawler sees; the archived record stores the compressed bytes
+verbatim, so the reader has to gunzip the HTTP body before extraction.
+This prose keeps the page comfortably above the native-text rule.</p>
+<p>Second paragraph so block segmentation has work to do here too.</p>
+</div></body></html>"""
+    )
+
+    both_page = (
+        b"""<html><head><title>Both codings</title></head>
+<body><div><p>Transfer coding wraps content coding: this body is gzip
+compressed first and THEN chunked, so the reader must de-chunk before
+gunzipping; the reverse order corrupts the stream. Enough words follow
+to clear every threshold the classifier applies to html pages.</p>
+</div></body></html>"""
+    )
+
+    cut_gz_page = (
+        b"""<html><head><title>Cut</title></head>
+<body><div><p>This gzip member is truncated mid-stream by the fixture;
+the reader keeps whatever prefix inflates and the extractor turns the
+remainder into a bounded error row or partial text, never a task
+failure. Padding padding padding padding padding padding padding.</p>
+</div></body></html>"""
+    )
+
     records = [
         _record(
             b"warcinfo",
@@ -185,8 +275,44 @@ extractor has to normalize it without corrupting adjacent words.</p>
             b"application/octet-stream",
         ),
         _response(b"https://empty.example.net/nobody", ts, b""),
+        # real-crawl transfer encodings (VERDICT r3 #7)
+        _enc_response(
+            b"https://transfer.example.com/chunked", ts,
+            _chunk(chunked_page, (7, 64, 150)),
+            [b"Transfer-Encoding: chunked"],
+        ),
+        _enc_response(
+            b"https://compressed.example.io/gz", ts,
+            _gz_bytes(gzip_page),
+            [b"Content-Encoding: gzip"],
+        ),
+        _enc_response(
+            b"https://both.example.dev/cg", ts,
+            _chunk(_gz_bytes(both_page), (11, 96)),
+            [b"Transfer-Encoding: chunked", b"Content-Encoding: gzip"],
+        ),
+        _enc_response(
+            b"https://cut.example.net/gzcut", ts,
+            _gz_bytes(cut_gz_page)[: int(len(_gz_bytes(cut_gz_page)) * 0.6)],
+            [b"Content-Encoding: gzip"],
+        ),
     ]
     return records
+
+
+def truncated_tail_member() -> bytes:
+    """A response record whose gzip MEMBER is cut mid-stream — the shape an
+    interrupted .warc.gz fetch leaves at end of file.  Appended raw to the
+    archive; the reader must keep every complete prior member and at most
+    lose/truncate this one (never raise)."""
+    ts = b"2019-11-07T14:21:33Z"
+    body = (
+        b"<html><body><div><p>tail record whose compressed member is cut; "
+        b"whatever prefix inflates is all the archive can offer.</p>"
+        b"</div></body></html>"
+    )
+    member = _gz_bytes(_response(b"https://tail.example.org/lost", ts, body))
+    return member[: int(len(member) * 0.55)]
 
 
 def main() -> None:
@@ -196,6 +322,8 @@ def main() -> None:
         # same member-per-record layout as real Common-Crawl .warc.gz
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
             gz.write(rec)
+    # interrupted-fetch tail: final member truncated mid-stream
+    buf.write(truncated_tail_member())
     OUT.write_bytes(buf.getvalue())
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
 

@@ -65,23 +65,51 @@ def test_cc_fixture_bytes_pinned():
     """The committed fixture is byte-pinned; regenerate with
     tests/fixtures/make_cc_sample.py (deterministic, gzip mtime=0)."""
     h = hashlib.sha256(FIXTURE.read_bytes()).hexdigest()
-    assert h == "7273fb130b82467373ab8d1a6cff2e1b2d95be914bc37d3a3526e83a35e153f7"
+    assert h == "519a5d77f0f8011029e9833ba65406ad67b7956d5747c327a3717655eb51f729"
 
 
 def test_cc_fixture_layout_parses():
-    """Member-per-record gzip (real CC layout): 8 responses come back;
-    warcinfo and request records are skipped."""
+    """Member-per-record gzip (real CC layout): 13 responses come back;
+    warcinfo and request records are skipped; the truncated final member
+    yields at most a partial record, never an exception."""
     recs = list(iter_warc_records(FIXTURE.read_bytes()))
-    assert len(recs) == 8
+    assert len(recs) == 13
     assert all(r["warc_ts"] is not None for r in recs)
     assert "https://docs.example.com/rotated.pdf" in [r["url"] for r in recs]
+
+
+def test_cc_fixture_transfer_encodings_decode_byte_identical():
+    """Chunked, gzip, and chunked-wrapping-gzip bodies come back as the
+    EXACT page bytes the generator compressed (decoded byte identity,
+    VERDICT r3 #7); the truncated-gzip body yields a strict prefix."""
+    recs = {r["url"]: r["body"] for r in iter_warc_records(FIXTURE.read_bytes())}
+    chunked = recs["https://transfer.example.com/chunked"]
+    gz = recs["https://compressed.example.io/gz"]
+    both = recs["https://both.example.dev/cg"]
+    cut = recs["https://cut.example.net/gzcut"]
+    assert chunked.startswith(b"<html><head><title>Chunked") and chunked.endswith(
+        b"</div></body></html>"
+    )
+    assert b"hex size lines" in chunked  # spans a chunk boundary intact
+    assert gz.startswith(b"<html><head><title>Compressed") and gz.endswith(
+        b"</div></body></html>"
+    )
+    assert both.startswith(b"<html><head><title>Both codings") and both.endswith(
+        b"</div></body></html>"
+    )
+    # truncated member: nonempty strict prefix of a page that starts clean
+    assert 0 < len(cut) and cut.startswith(b"<html><head><title>Cut")
+    assert not cut.endswith(b"</html>")
+    # chunk framing never leaks into any body
+    for b in (chunked, gz, both):
+        assert b"X-Trailer" not in b and b"\r\n0\r\n" not in b
 
 
 def test_cc_fixture_extraction_deterministic_and_bounded(spark):
     """Real-world constructs through the full Spark path: declared legacy
     charsets decode, raw-text traps don't leak, the rotated+octal PDF
     extracts upright, extraction hashes are stable across two runs, and
-    error rows are exactly the two deliberate junk responses."""
+    error rows are exactly the three deliberate junk/truncated responses."""
     pages = read_warc(spark, str(FIXTURE.parent))
 
     def run():
@@ -95,7 +123,7 @@ def test_cc_fixture_extraction_deterministic_and_bounded(spark):
     rows2, h2 = run()
     assert h1 == h2  # deterministic across runs
     by_url = {u: (t, s) for u, t, s in rows1}
-    assert len(by_url) == 8
+    assert len(by_url) == 13
     # charset paths: ISO-8859-1 meta, windows-1252 meta, UTF-8 BOM
     assert "pâtissier têtu" in by_url["https://cafe.example.fr/"][0]
     assert "“Smart quotes”" in by_url["https://news.example.com/quotes"][0]
@@ -111,8 +139,48 @@ def test_cc_fixture_extraction_deterministic_and_bounded(spark):
         "Rotated Archive page with a text layer\n"
         "second rotated line clears the 50-char rule"
     )
+    # transfer encodings decode into clean extracted prose
+    assert "Chunked transfer encoding splits" in by_url[
+        "https://transfer.example.com/chunked"
+    ][0]
+    assert "Content-Encoding gzip is the single" in by_url[
+        "https://compressed.example.io/gz"
+    ][0]
+    assert "Transfer coding wraps content coding" in by_url[
+        "https://both.example.dev/cg"
+    ][0]
+    # truncated gzip BODY: the inflatable prefix still extracts (>50 chars
+    # of readable text survive), bounded and deterministic
+    assert by_url["https://cut.example.net/gzcut"][1] is True
+    assert "truncated mid" in by_url["https://cut.example.net/gzcut"][0]
     errs = sorted(u for u, (t, s) in by_url.items() if not s)
     assert errs == [
         "https://broken.example.net/truncated",
         "https://empty.example.net/nobody",
+        "https://tail.example.org/lost",  # archive's truncated final member
     ]
+
+
+def test_chunked_decoder_edge_cases():
+    from gonova_document_parser_spark.sources.warc import _decode_chunked
+
+    body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    assert _decode_chunked(body) == b"hello world"
+    # chunk extension + trailer
+    assert _decode_chunked(b"3;x=1\r\nabc\r\n0\r\nX-T: v\r\n\r\n") == b"abc"
+    # pre-decoded body carrying the header anyway: not hex -> None (keep raw)
+    assert _decode_chunked(b"<html>not chunked</html>") is None
+    # truncated mid-chunk: decoded prefix, no exception
+    assert _decode_chunked(b"5\r\nhel") == b"hel"
+
+
+def test_gunzip_best_effort_multi_member_and_truncation():
+    from gonova_document_parser_spark.sources.warc import _gunzip_best_effort
+
+    m1, m2 = gzip.compress(b"alpha "), gzip.compress(b"beta")
+    assert _gunzip_best_effort(m1 + m2) == b"alpha beta"
+    # truncated second member: first survives entirely
+    out = _gunzip_best_effort(m1 + m2[: len(m2) // 2])
+    assert out.startswith(b"alpha ")
+    # pure garbage after the magic bytes: no exception
+    assert isinstance(_gunzip_best_effort(b"\x1f\x8b\x00junk"), bytes)
