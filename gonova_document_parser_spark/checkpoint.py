@@ -304,6 +304,59 @@ def run_incremental(
     return summary
 
 
+def stage_bucketed_table(
+    spark: SparkSession, pages: DataFrame, table: str, n_partitions: int
+) -> DataFrame:
+    """Write the corpus ONCE as a managed table bucketed on partition_id —
+    the production shape that makes wave scans prune with NO per-run
+    staging copy (BENCH §1b; the Iceberg ``bucket(N, url)`` analog,
+    expressed through the local catalog's Hive-style bucketing since the
+    built-in session catalog rejects DSv2 bucket transforms).
+
+    ``partition_id = pmod(xxhash64(url), n_partitions)`` is precomputed
+    into the table, and the table is bucketed AND sorted by it: a wave's
+    ``partition_id IN (...)`` filter then compiles to bucket pruning —
+    the scan's ``SelectedBucketsCount`` drops to at most the wave's
+    partition count, so every wave reads ~wave_size/n_partitions of the
+    corpus instead of all of it, turning n_waves x corpus total scan
+    volume into ~1 x corpus with zero extra copies on any re-run or
+    resume (the table persists; ``--stage-source`` rewrites per run).
+
+    Returns the table as a DataFrame ready for ``run_with_checkpoint``
+    (its rows already carry partition_id; ``partitioned`` recomputes the
+    same value idempotently since it's a pure function of url).
+
+    Local-mode caveat: the default in-memory catalog forgets table
+    METADATA across sessions while the warehouse files persist, so a
+    fresh session must restage (or run with a persistent metastore /
+    Iceberg catalog in production — where this helper is one
+    ``writeTo(table).partitionedBy(bucket(N, url))``).  Orphaned
+    locations from a previous session are cleaned up first.
+    """
+    # force bucketed scans: the planner's DisableUnnecessaryBucketedScan
+    # turns bucketed reading (and with it bucket PRUNING) off when no
+    # join/agg wants the distribution — but pruning is exactly why the
+    # table is bucketed here
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # in-memory catalog + surviving warehouse dir -> LOCATION_ALREADY_EXISTS
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + f"/{table}"
+    )
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    (
+        partitioned(pages, n_partitions)
+        .write.mode("overwrite")
+        .bucketBy(n_partitions, "partition_id")
+        .sortBy("partition_id")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     pages: DataFrame,
