@@ -138,7 +138,13 @@ def phase_queries() -> None:
         # explicit GC between queries: accumulated heap from earlier queries
         # otherwise adds multi-second collection pauses to whatever runs late
         spark.sparkContext._jvm.System.gc()
-        fn(spark, SF_DIR).count()  # warm (plan+codegen+io cache)
+        # TWO warm passes: a single one leaves heavy multi-aggregate plans
+        # (simhash's 63 conditional sums) mid-C2-compilation — measured
+        # pass series in a fresh JVM: 10.6, 2.6, 2.3, 2.1, 2.1... (see
+        # BENCH/BASELINE.md §2 round-4 note), so the second warm pass is
+        # what separates steady-state from JIT transient
+        fn(spark, SF_DIR).count()
+        fn(spark, SF_DIR).count()
         walls = []
         for _ in range(3):  # median-of-3 (project measurement invariant)
             t0 = time.time()
@@ -245,6 +251,44 @@ def phase_skew(master: str) -> None:
 
     naive = timed(pages.repartition(n_parts, host_of()))
     spread = timed(spread_by_url(pages, n_parts))
+
+    # domain_cap on the same hot-host shape (VERDICT r3 #2 measurement):
+    # the r3 single-window cap serializes the hot host's 50% of rows
+    # through ONE task's sort; the two-phase salted cap spreads that sort
+    # across 16 salt cells.  Rows carry the html payload (what a real
+    # quota emits), so the one-task sort pays real serialization cost.
+    from pyspark.sql import Window
+
+    from gonova_document_parser_spark.functions.sampling import domain_cap
+
+    full = spark.read.parquet(CACHE)
+    scored = full.select(
+        F.xxhash64("url").alias("doc_id"),
+        host_of().alias("source"),
+        F.octet_length("html").cast("double").alias("q"),
+        "html",
+    )
+
+    def timed_cap(build) -> float:
+        def one():
+            t0 = time.time()
+            build().agg(F.count(F.lit(1))).collect()
+            return time.time() - t0
+
+        one()  # warm-up
+        return sorted(one() for _ in range(3))[1]
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    one_window = timed_cap(
+        lambda: scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 100)
+        .drop("_rn")
+    )
+    salted = timed_cap(
+        lambda: domain_cap(scored, 100, key_col="source", order_col="q")
+    )
     print(
         json.dumps(
             {
@@ -252,6 +296,12 @@ def phase_skew(master: str) -> None:
                 "wall_naive_by_host_sec": round(naive, 3),
                 "wall_spread_by_url_sec": round(spread, 3),
                 "speedup": round(naive / spread, 2),
+                "domain_cap": {
+                    "rows": CORPUS_ROWS,
+                    "wall_one_window_sec": round(one_window, 3),
+                    "wall_salted_sec": round(salted, 3),
+                    "speedup": round(one_window / salted, 2),
+                },
             }
         )
     )

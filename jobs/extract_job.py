@@ -3,7 +3,8 @@
 Usage:
   spark-submit --py-files gonova.zip jobs/extract_job.py \
       <pages_parquet_or_table> <output_path> <checkpoint_path> \
-      [run_id] [n_partitions] [n_waves] [--verify] [--stage-source] [--digests]
+      [run_id] [n_partitions] [n_waves] [--verify] [--stage-source] \
+      [--digests] [--bucketed-table NAME]
 
 ``n_waves`` sets commit granularity (fewer waves = faster, larger at-risk
 window on a kill); ``--verify`` re-reads each written wave and asserts the
@@ -12,7 +13,11 @@ writes the partition_id-augmented source once so each wave's scan
 file-prunes instead of re-reading the full input (pays off as n_waves
 grows or when the source is remote); ``--digests`` commits the 16-byte
 md5 url-digest sidecar per wave (what run_incremental's digest-table
-mode rides on).
+mode rides on); ``--bucketed-table NAME`` stages the corpus ONCE as a
+managed table bucketed on partition_id — wave scans then bucket-prune
+with no per-run staging copy (BENCH §1b round-4; the Iceberg
+``bucket(N, url)`` production shape) — an existing table with matching
+row count is reused, so resumes and re-runs skip the write entirely.
 
 Resumable: re-running with the same run_id skips completed partitions
 (see gonova_document_parser_spark.checkpoint for the protocol).
@@ -23,7 +28,10 @@ from __future__ import annotations
 import json
 import sys
 
-from gonova_document_parser_spark.checkpoint import run_with_checkpoint
+from gonova_document_parser_spark.checkpoint import (
+    run_with_checkpoint,
+    stage_bucketed_table,
+)
 from gonova_document_parser_spark.session import get_spark
 from gonova_document_parser_spark.sources import read_pages
 
@@ -32,6 +40,11 @@ def main(argv: list[str]) -> None:
     verify = "--verify" in argv
     stage = "--stage-source" in argv
     digests = "--digests" in argv
+    bucketed = None
+    if "--bucketed-table" in argv:
+        i = argv.index("--bucketed-table")
+        bucketed = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     argv = [a for a in argv if a not in ("--verify", "--stage-source", "--digests")]
     source, output, ckpt = argv[0], argv[1], argv[2]
     run_id = argv[3] if len(argv) > 3 else "run-default"
@@ -40,6 +53,19 @@ def main(argv: list[str]) -> None:
     spark = get_spark(app_name="gonova-extract")
     spark.sparkContext.setLogLevel("WARN")
     pages = read_pages(spark, source)
+    if bucketed is not None:
+        # reuse an existing staged table (resume path: the local catalog
+        # may have forgotten it — only restage when absent or stale)
+        if (
+            spark.catalog.tableExists(bucketed)
+            and spark.table(bucketed).count() == pages.count()
+        ):
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+            pages = spark.table(bucketed)
+        else:
+            pages = stage_bucketed_table(spark, pages, bucketed, n_partitions)
     summary = run_with_checkpoint(
         spark,
         pages,

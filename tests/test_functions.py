@@ -947,20 +947,36 @@ def test_domain_cap_salted_matches_single_window(spark):
         .drop("_rn")
     )
     expect = sorted(tuple(r) for r in naive.collect())
+    # hot_threshold=10 forces hot.example (200 rows) down the salted
+    # two-phase path; the default (250 here) keeps everything cold; 0
+    # salts every key — the keeper set must be identical on every route
     for n_salts in (1, 4, 16):
-        got = sorted(
-            tuple(r)
-            for r in domain_cap(
-                df, 5, key_col="source", order_col="q", n_salts=n_salts
-            ).collect()
-        )
-        assert got == expect, f"n_salts={n_salts} diverged from one-window cap"
+        for hot_threshold in (None, 10, 0):
+            got = sorted(
+                tuple(r)
+                for r in domain_cap(
+                    df,
+                    5,
+                    key_col="source",
+                    order_col="q",
+                    n_salts=n_salts,
+                    hot_threshold=hot_threshold,
+                ).collect()
+            )
+            assert got == expect, (
+                f"n_salts={n_salts} hot_threshold={hot_threshold} "
+                "diverged from one-window cap"
+            )
 
 
 def test_domain_cap_plan_has_salted_partial_window(spark):
-    """The executed plan must show the phase-1 window keyed by
-    (key, _salt) — i.e. the hot key's sort is split across salt cells,
-    not serialized through one task."""
+    """The executed plan must show (a) the phase-1 window keyed by
+    (key, _salt) — the hot key's reduce-side input split across salt
+    cells — and (b) WindowGroupLimit nodes on BOTH windows: Spark's
+    InferWindowGroupLimit turns the row_number()<=k filter into a
+    map-side partial top-k (measured 1.2M -> 113k shuffled records on
+    the bench corpus); losing the pattern (e.g. by switching to rank
+    computed post-hoc) would silently re-shuffle everything."""
     from gonova_document_parser_spark.functions.sampling import domain_cap
 
     rows = [(i, "hot", float(i)) for i in range(50)]
@@ -972,6 +988,8 @@ def test_domain_cap_plan_has_salted_partial_window(spark):
         .toString()
     )
     assert "_salt" in plan  # phase-1 partial window partitions on (source, _salt)
+    # Partial+Final per window, two windows
+    assert plan.count("WindowGroupLimit") >= 4
 
 
 def test_top_ngrams_plan_uses_topk_not_full_sort(spark):
