@@ -648,6 +648,19 @@ def _q_hash_split(spark, sf_dir):
     return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _q_seq_pack(spark, sf_dir):
+    """Token-budget sequence packing (GPT-style concatenate-then-slice):
+    each doc's chunk_id is the training sequence where its token stream
+    starts.  The engine runs the two-phase scalable prefix sum
+    (range-repartition, per-partition sums, driver prefix offsets, one
+    within-partition window); the oracle is the mathematically equal
+    single cumulative window in DuckDB — hash-exact offsets prove the
+    distributed prefix sum correct."""
+    from gonova_document_parser_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=2048, n_partitions=8)
+
+
 def _q_dup_spans(spark, sf_dir):
     """Cross-doc duplicated-span coverage (exact-substring dedup signal):
     documents plus planted partial copies (first 20 words of every
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "sample_mix": _q_sample_mix,
         "hash_split": _q_hash_split,
+        "seq_pack": _q_seq_pack,
         "latest_snapshot": _q_latest_snapshot,
         "dup_spans": _q_dup_spans,
         "remove_dup_spans": _q_remove_dup_spans,
@@ -1709,6 +1723,24 @@ def oracle_sql() -> dict[str, str]:
                               THEN c.covered * 1.0 / len(t.w)
                               ELSE 0.0 END, 6)::DOUBLE AS dup_frac
             FROM words t LEFT JOIN cov c USING (doc_id)
+        """,
+        "seq_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_tokens AS start_offset
+                FROM t)
+            SELECT doc_id,
+                   n_tokens::INT AS n_tokens,
+                   start_offset::BIGINT AS start_offset,
+                   (start_offset // 2048)::INT AS chunk_id
+            FROM s
         """,
         "remove_dup_spans": """
             WITH base AS (SELECT doc_id, text FROM documents),

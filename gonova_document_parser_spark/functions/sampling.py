@@ -174,3 +174,67 @@ def domain_cap(
         .where(F.col("_rn") <= max_per_key)
         .select(*df.columns)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget training-sequence packing (GPT-style concatenation).
+
+    Pretraining pipelines concatenate the corpus in a pinned document
+    order and slice the token stream into fixed-``budget`` sequences; a
+    document belongs to the sequence (``chunk_id``) where it STARTS.
+    Returns (id_col, n_tokens, start_offset, chunk_id) with
+    ``start_offset`` = total tokens before this doc in ``id_col`` order
+    and ``chunk_id = start_offset // budget`` — a pure function of the
+    corpus, so retries/resumes reproduce identical packing and appends
+    never move existing docs (new ids sort after old ones when ids are
+    monotone).
+
+    A global running sum would be one all-rows window (single-task scan
+    — the classic prefix-sum scale trap).  Instead the standard
+    two-phase scan: range-repartition the narrow (id, n_tokens)
+    projection on ``id_col``, sum per partition, prefix-add the ≤
+    ``n_partitions`` partition totals DRIVER-side (bounded scalar
+    state, like the CC convergence loop), then one within-partition
+    window adds the broadcast offset.  ``localCheckpoint`` pins the
+    range partitioning so the per-partition sums and the final pass see
+    the identical ``spark_partition_id`` assignment (range sampling is
+    not otherwise guaranteed stable across jobs).
+    """
+    from pyspark.sql import Window
+
+    from .textstats import token_count_expr
+
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(F.col(id_col), token_count_expr(text_col).alias("n_tokens"))
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid])
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.col(id_col))
+    start = (F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_offset"
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(F.col(id_col), F.col("n_tokens"), start)
+        .withColumn(
+            "chunk_id", F.floor(F.col("start_offset") / budget).cast("int")
+        )
+    )

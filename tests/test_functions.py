@@ -768,6 +768,54 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_pack_sequences_matches_python_prefix_sum(spark):
+    """The distributed two-phase prefix sum must equal the sequential
+    cumulative sum, at several range-partition counts (including more
+    partitions than rows)."""
+    import random
+
+    from gonova_document_parser_spark.functions.sampling import pack_sequences
+
+    rng = random.Random(7)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(137)]
+    budget = 64
+    acc, expect = 0, {}
+    for i, t in docs:
+        n = len(t.split())
+        expect[i] = (n, acc, acc // budget)
+        acc += n
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n_parts in (1, 4, 16, 300):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_offset"], r["chunk_id"])
+            for r in pack_sequences(df, budget, n_partitions=n_parts).collect()
+        }
+        assert got == expect, f"n_partitions={n_parts} diverged"
+
+
+def test_pack_sequences_append_stable(spark):
+    """Appending docs with larger ids never moves existing docs between
+    chunks (monotone ids extend the token stream at the end)."""
+    from gonova_document_parser_spark.functions.sampling import pack_sequences
+
+    base = [(i, "a b c d e") for i in range(50)]
+    grown = base + [(i, "x y z") for i in range(50, 80)]
+    a = {
+        r["doc_id"]: (r["start_offset"], r["chunk_id"])
+        for r in pack_sequences(
+            spark.createDataFrame(base, "doc_id long, text string"), 32
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["start_offset"], r["chunk_id"])
+        for r in pack_sequences(
+            spark.createDataFrame(grown, "doc_id long, text string"), 32
+        ).collect()
+    }
+    assert all(b[i] == a[i] for i in a)
+
+
 def test_remove_duplicated_spans_first_occurrence_survives(spark):
     """Pinned rule: the corpus-wide first occurrence (min (doc_id, pos))
     keeps its text verbatim; every other occurrence loses exactly the
