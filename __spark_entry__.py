@@ -648,6 +648,47 @@ def _q_hash_split(spark, sf_dir):
     return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def _q_governance_filter(spark, sf_dir):
+    """Crawl-governance filters: meta-robots noindex (both attribute
+    orders) + domain-suffix blocklist (subdomains blocked, label
+    boundaries respected — notspam.example.net survives).  Hosts and
+    noindex tags are planted deterministically; the oracle rebuilds the
+    identical pages and replays the same RE2 regexes and suffix
+    matching in DuckDB."""
+    from gonova_document_parser_spark.functions.governance import governance_flags
+
+    d = _docs(spark, sf_dir)
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("docs.example.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("sub.spam.example.net"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("spam.example.net"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("notspam.example.net"))
+        .otherwise(F.lit("ads.example.org"))
+    )
+    meta = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("<meta content='NOINDEX' name=robots>"),
+        )
+        .otherwise(F.lit('<meta name="robots" content="index, follow">'))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), meta, F.lit("</head><body>"),
+            F.substring("text", 1, 80), F.lit("</body></html>"),
+        ).alias("html_text"),
+    )
+    return governance_flags(
+        pages, ["spam.example.net", "ads.example.org"]
+    ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
+
+
 def _q_seq_pack(spark, sf_dir):
     """Token-budget sequence packing (GPT-style concatenate-then-slice):
     each doc's chunk_id is the training sequence where its token stream
@@ -1079,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "sample_mix": _q_sample_mix,
         "hash_split": _q_hash_split,
+        "governance_filter": _q_governance_filter,
         "seq_pack": _q_seq_pack,
         "latest_snapshot": _q_latest_snapshot,
         "dup_spans": _q_dup_spans,
@@ -1106,6 +1148,16 @@ _LANG_HITS = {
     for lang in ("en", "fr", "es", "de")
 }
 
+
+
+def _noindex_sql_pattern(which: int) -> str:
+    from gonova_document_parser_spark.functions.governance import (
+        _NOINDEX_CONTENT_FIRST,
+        _NOINDEX_NAME_FIRST,
+    )
+
+    pat = (_NOINDEX_NAME_FIRST, _NOINDEX_CONTENT_FIRST)[which]
+    return pat.replace("'", "''")
 
 
 def _bpe_sql_pattern() -> str:
@@ -1723,6 +1775,41 @@ def oracle_sql() -> dict[str, str]:
                               THEN c.covered * 1.0 / len(t.w)
                               ELSE 0.0 END, 6)::DOUBLE AS dup_frac
             FROM words t LEFT JOIN cov c USING (doc_id)
+        """,
+        "governance_filter": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'docs.example.com'
+                         WHEN 1 THEN 'sub.spam.example.net'
+                         WHEN 2 THEN 'spam.example.net'
+                         WHEN 3 THEN 'notspam.example.net'
+                         ELSE 'ads.example.org' END AS host,
+                       '<html><head>' ||
+                       CASE WHEN doc_id % 7 = 0
+                              THEN '<meta name="robots" content="noindex, nofollow">'
+                            WHEN doc_id % 11 = 0
+                              THEN '<meta content=''NOINDEX'' name=robots>'
+                            ELSE '<meta name="robots" content="index, follow">'
+                       END || '</head><body>' || substr(text, 1, 80) ||
+                       '</body></html>' AS html
+                FROM documents),
+            flags AS (
+                SELECT doc_id,
+                       'https://' || host || '/d/' || doc_id AS url,
+                       (regexp_matches(html, '{_noindex_sql_pattern(0)}')
+                        OR regexp_matches(html, '{_noindex_sql_pattern(1)}'))
+                         AS noindex,
+                       list_has_any(
+                         list_transform(
+                           generate_series(1, len(string_split(host, '.'))),
+                           i -> array_to_string(string_split(host, '.')[i:], '.')),
+                         ['spam.example.net', 'ads.example.org'])
+                         AS domain_blocked
+                FROM pages)
+            SELECT doc_id, url, noindex, domain_blocked,
+                   NOT (noindex OR domain_blocked) AS keep
+            FROM flags
         """,
         "seq_pack": """
             WITH t AS (

@@ -768,6 +768,51 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_governance_noindex_detection(spark):
+    from pyspark.sql import functions as F
+
+    from gonova_document_parser_spark.functions.governance import robots_noindex_expr
+
+    rows = [
+        (1, '<meta name="robots" content="noindex, nofollow">'),
+        (2, "<meta content='NOINDEX' name=robots>"),            # reversed attrs
+        (3, '<META NAME=robots CONTENT="NOINDEX">'),            # caps, bare attrs
+        (4, '<meta name="robots" content="index, follow">'),    # indexable
+        (5, '<meta name="googlebot" content="noindex">'),       # wrong name attr
+        (6, "<p>the robots noindex directive is a meta tag</p>"),  # prose mention
+        (7, '<meta name="description" content="robots"><meta name="robots" content="all">'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html_text string")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", robots_noindex_expr().alias("f")).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: False}
+
+
+def test_governance_domain_blocklist_label_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from gonova_document_parser_spark.functions.governance import domain_blocked_expr
+
+    rows = [
+        (1, "https://spam.example.net/x"),        # exact
+        (2, "https://a.b.spam.example.net/x"),    # deep subdomain
+        (3, "https://notspam.example.net/x"),     # label boundary: NOT blocked
+        (4, "https://example.net/x"),             # parent of blocked: NOT blocked
+        (5, "https://SPAM.Example.NET/x"),        # case-insensitive
+        (6, "https://clean.example.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", domain_blocked_expr(["spam.example.net"]).alias("b")
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: True, 6: False}
+
+
 def test_pack_sequences_matches_python_prefix_sum(spark):
     """The distributed two-phase prefix sum must equal the sequential
     cumulative sum, at several range-partition counts (including more
