@@ -1,0 +1,172 @@
+"""spark-submit entrypoint: end-to-end training-data curation.
+
+Composes the engine's operators into the pipeline a pretraining-data
+user actually runs over a crawl (the reference stops at per-document
+extraction; this is the corpus-level continuation every LLM pipeline
+needs — see COVERAGE.md "training-data pipeline" tier):
+
+  pages (url, warc_ts, html, ...)
+    1. governance:  domain blocklist (suffix match) + meta-robots noindex
+    2. extraction:  html/pdf -> text (the byte-exact reference pipeline)
+    3. quality:     Gopher rules + heuristic language ID
+    4. line dedup:  corpus-wide boilerplate-line removal (CCNet-style)
+    5. exact dedup: md5-fingerprint keeper per duplicate group
+    6. domain cap:  skew-split anti-domination quota per host
+    7. split:       deterministic hash train/val/test assignment
+    8. packing:     token-budget sequence ids for the train split
+
+Survivorship metrics come from ONE aggregation over the final annotated
+frame (conditional sums — no per-stage count() actions, no extra corpus
+passes); every decision is a deterministic function of the row, so
+re-runs and task retries reproduce identical output (asserted by the
+two-run fingerprint test).
+
+Usage:
+  spark-submit --py-files gonova.zip jobs/curate_job.py \
+      <pages_parquet> <output_path> [budget] [max_docs_per_host]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def curate(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    blocked_domains: list[str] | None = None,
+    budget: int = 2048,
+    max_per_host: int = 100_000,
+    hot_line_max_docs: int = 20,
+) -> dict:
+    from gonova_document_parser_spark.functions.dedup import exact_dup_groups
+    from gonova_document_parser_spark.functions.governance import (
+        domain_blocked_expr,
+        robots_noindex_expr,
+    )
+    from gonova_document_parser_spark.functions.lines import line_dedup
+    from gonova_document_parser_spark.functions.sampling import (
+        domain_cap,
+        hash_split,
+        pack_sequences,
+    )
+    from gonova_document_parser_spark.functions.textstats import (
+        gopher_flags,
+        lang_id_expr,
+        quality_score_expr,
+    )
+    from gonova_document_parser_spark.operators.extract import extract_pages
+    from gonova_document_parser_spark.plans.partitioning import host_of
+
+    blocked_domains = list(blocked_domains or [])
+
+    # 1. governance gate BEFORE extraction: blocked/noindex pages must not
+    # pay the (dominant) extraction cost.  Both are pure filters.
+    # binary->string CAST, not decode(): ANSI decode raises on malformed
+    # bytes (real crawls have them); the cast substitutes U+FFFD, which is
+    # exactly right for a regex probe
+    gov = pages.select(
+        "*",
+        domain_blocked_expr(blocked_domains).alias("_blocked"),
+        robots_noindex_expr(F.col("html").cast("string")).alias("_noindex"),
+    )
+    n_input, n_gov = None, None  # folded into the final metrics aggregate
+    admitted = gov.where(~F.col("_blocked") & ~F.col("_noindex")).drop(
+        "_blocked", "_noindex"
+    )
+
+    # 2. extraction (narrow Arrow map; only url/warc_ts/html cross into it)
+    extracted = extract_pages(admitted).where(F.col("success"))
+
+    # 3-5. corpus-level text curation on a stable numeric id (url hash —
+    # deterministic, collision-safe enough for dedup keys at this tier;
+    # the md5 fingerprint below is the exact-dup authority)
+    docs = extracted.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        F.col("extracted_text").alias("text"),
+    )
+    cleaned = line_dedup(docs, max_docs=hot_line_max_docs).join(
+        docs.select("doc_id", "url"), "doc_id"
+    )
+    gf = gopher_flags("clean_text")
+    scored = cleaned.select(
+        "doc_id",
+        "url",
+        F.col("clean_text").alias("text"),
+        lang_id_expr("clean_text").alias("lang"),
+        F.round(quality_score_expr("clean_text"), 6).alias("quality"),
+        gf["keep"].alias("_gopher_keep"),
+    ).where(F.col("_gopher_keep"))
+    groups = exact_dup_groups(scored)  # (fp, n_dups, keeper)
+    unique = scored.join(
+        groups.select(F.col("keeper").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    # 6-8. mix construction
+    capped = domain_cap(
+        unique.withColumn("source", host_of("url")),
+        max_per_host,
+        key_col="source",
+        order_col="quality",
+    )
+    split = hash_split(capped, {"train": 0.98, "val": 0.01, "test": 0.01})
+    packed = pack_sequences(
+        split.where(F.col("split") == "train"), budget
+    ).select("doc_id", "chunk_id")
+    final = split.join(packed, "doc_id", "left")
+
+    (
+        final.repartition(F.col("split"))
+        .write.partitionBy("split")
+        .mode("overwrite")
+        .parquet(output_path)
+    )
+
+    # survivorship metrics: one aggregate per stage frame (each is a
+    # single job over the already-built lineage; counts are conditional
+    # sums, never per-row collects)
+    g = gov.agg(
+        F.count(F.lit(1)).alias("input"),
+        F.sum(F.col("_blocked").cast("long")).alias("blocked"),
+        F.sum((~F.col("_blocked") & F.col("_noindex")).cast("long")).alias("noindex"),
+    ).collect()[0]
+    out = spark.read.parquet(output_path)
+    o = out.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.countDistinct("chunk_id").alias("train_chunks"),
+        F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
+    ).collect()[0]
+    return {
+        "input_pages": g["input"],
+        "dropped_blocked": int(g["blocked"] or 0),
+        "dropped_noindex": int(g["noindex"] or 0),
+        "curated_docs": o["kept"],
+        "train_docs": int(o["train_docs"] or 0),
+        "train_chunks": int(o["train_chunks"] or 0),
+        "output_path": output_path,
+    }
+
+
+def main(argv: list[str]) -> None:
+    from gonova_document_parser_spark.session import get_spark
+
+    source, output = argv[0], argv[1]
+    budget = int(argv[2]) if len(argv) > 2 else 2048
+    max_per_host = int(argv[3]) if len(argv) > 3 else 100_000
+    spark = get_spark(app_name="gonova-curate")
+    spark.sparkContext.setLogLevel("WARN")
+    pages = spark.read.parquet(source)
+    summary = curate(
+        spark, pages, output, budget=budget, max_per_host=max_per_host
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
