@@ -67,6 +67,8 @@ HEADLINE = [
     "remove_dup_spans",
     "latest_snapshot",
     "hash_split",
+    "seq_pack",
+    "governance_filter",
     "host_graph",
     # host_pagerank and dedup_clusters are deliberately NOT headline rows:
     # both are iterative driver loops whose local wall is dominated by the
