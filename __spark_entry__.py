@@ -1010,6 +1010,30 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_probe(spark, path, q, k=10, n_probe=6)
 
 
+def _q_topic_mix(spark, sf_dir):
+    """Embedding-cluster balance for data mixing: per-IVF-cell vector
+    counts and parts-per-million share over the SAME materialized index
+    ivf_topk probes — the histogram a mix-weighting step consumes to
+    rebalance over-represented topic clusters.  Integer ppm (x*1e6 div
+    total), so the oracle matches bit-for-bit with no float division."""
+    from pyspark.sql import Window
+
+    path = _ensure_ivf_index(spark, sf_dir, n_cells=16)
+    v = spark.read.parquet(f"{path}/vectors")
+    counts = v.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = F.sum("n_vectors").over(Window.partitionBy(F.lit(1)))
+    return counts.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vectors",
+        (F.col("n_vectors") * 1000000).cast("long").alias("_scaled"),
+        total.alias("_tot"),
+    ).selectExpr(
+        "cell",
+        "n_vectors",
+        "_scaled div _tot as ppm",  # integral div: bit-exact vs DuckDB //
+    )
+
+
 def _q_media_features(spark, sf_dir):
     # opaque-binary ingestion over text-blob payloads: every output column is
     # an exact function of sha256(payload), which DuckDB reproduces —
@@ -1099,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "gopher_filter": _q_gopher_filter,
         "ivf_topk": _q_ivf_topk,
+        "topic_mix": _q_topic_mix,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -2330,4 +2355,43 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle_sql()
     if ivf is not None:
         out["ivf_topk"] = ivf
+    mix = _topic_mix_oracle_sql()
+    if mix is not None:
+        out["topic_mix"] = mix
     return out
+
+
+def _topic_mix_oracle_sql() -> str | None:
+    """Per-cell histogram over the same materialized IVF index (see
+    _ivf_oracle_sql for the index-availability protocol).  Integer ppm
+    (n * 1e6 // total) keeps the comparison float-free; DuckDB's
+    SUM(BIGINT) is HUGEINT, hence the explicit BIGINT casts."""
+    import os
+
+    sf_dir = os.environ.get("GONOVA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from gonova_document_parser_spark.functions.similarity import (
+            ivf_index_ready,
+        )
+
+        path = _ivf_index_path(sf_dir)
+        if not ivf_index_ready(path):
+            from gonova_document_parser_spark.session import get_spark
+
+            spark = SparkSession.getActiveSession() or get_spark(
+                master="local[8]", shuffle_partitions=16
+            )
+            path = _ensure_ivf_index(spark, sf_dir, n_cells=16)
+    except Exception:  # no Spark available here -> keep the rows-only check
+        return None
+    return f"""
+        WITH c AS (
+            SELECT cell::INT AS cell, COUNT(*) AS n_vectors
+            FROM read_parquet('{path}/vectors/*/*.parquet', hive_partitioning=1)
+            GROUP BY cell)
+        SELECT cell,
+               n_vectors::BIGINT AS n_vectors,
+               ((n_vectors * 1000000) // (SELECT SUM(n_vectors) FROM c))::BIGINT
+                 AS ppm
+        FROM c
+    """
