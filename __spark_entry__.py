@@ -689,6 +689,38 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+def _q_crawl_diff(spark, sf_dir):
+    """Snapshot diff between the corpus and a deterministically mutated
+    re-crawl: doc_id%13==0 disappears (removed), doc_id%11==0 gets a
+    changed body, ids+9100000 for doc_id<10 are new fetches (added),
+    everything else is a reformat-only refetch (extra whitespace —
+    must read UNCHANGED through normalization).  One full-outer join on
+    16-byte fingerprints; DuckDB replays it exactly."""
+    from gonova_document_parser_spark.functions.diff import crawl_diff
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("https://docs.example.com/d/"), F.col("doc_id"))
+    old = d.select(url.alias("url"), "text")
+    mutated = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select(
+            url.alias("url"),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" refetched"))
+            )
+            .otherwise(F.concat(F.lit("  "), F.col("text"), F.lit("\n")))
+            .alias("text"),
+        )
+    )
+    added = d.where(F.col("doc_id") < 10).select(
+        F.concat(F.lit("https://docs.example.com/d/"), F.col("doc_id") + 9100000).alias(
+            "url"
+        ),
+        F.col("text"),
+    )
+    return crawl_diff(old, mutated.unionByName(added))
+
+
 def _q_seq_pack(spark, sf_dir):
     """Token-budget sequence packing (GPT-style concatenate-then-slice):
     each doc's chunk_id is the training sequence where its token stream
@@ -1146,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": _q_sample_mix,
         "hash_split": _q_hash_split,
         "governance_filter": _q_governance_filter,
+        "crawl_diff": _q_crawl_diff,
         "seq_pack": _q_seq_pack,
         "latest_snapshot": _q_latest_snapshot,
         "dup_spans": _q_dup_spans,
@@ -1835,6 +1868,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, noindex, domain_blocked,
                    NOT (noindex OR domain_blocked) AS keep
             FROM flags
+        """,
+        "crawl_diff": """
+            WITH old_snap AS (
+                SELECT 'https://docs.example.com/d/' || doc_id AS url,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS old_fp
+                FROM documents),
+            new_snap AS (
+                SELECT 'https://docs.example.com/d/' || doc_id AS url,
+                       md5(trim(regexp_replace(lower(
+                         CASE WHEN doc_id % 11 = 0 THEN text || ' refetched'
+                              ELSE '  ' || text || chr(10) END),
+                         '\\s+', ' ', 'g'))) AS new_fp
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT 'https://docs.example.com/d/' || (doc_id + 9100000) AS url,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS new_fp
+                FROM documents WHERE doc_id < 10)
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.old_fp IS NULL THEN 'added'
+                        WHEN n.new_fp IS NULL THEN 'removed'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp, n.new_fp
+            FROM old_snap o FULL OUTER JOIN new_snap n ON o.url = n.url
         """,
         "seq_pack": """
             WITH t AS (

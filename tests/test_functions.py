@@ -768,6 +768,34 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_crawl_diff_statuses(spark):
+    from gonova_document_parser_spark.functions.diff import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", "same text"), ("u2", "will change"), ("u3", "goes away")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "  Same   TEXT \n"),  # reformat-only: unchanged via normalization
+            ("u2", "changed body"),
+            ("u4", "brand new"),
+        ],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+    }
+    # fingerprints present exactly where the side exists
+    rows = {r["url"]: r for r in crawl_diff(old, new).collect()}
+    assert rows["u3"]["new_fp"] is None and rows["u3"]["old_fp"] is not None
+    assert rows["u4"]["old_fp"] is None and rows["u4"]["new_fp"] is not None
+
+
 def test_governance_noindex_detection(spark):
     from pyspark.sql import functions as F
 
