@@ -46,3 +46,55 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    blocked_domains: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming front of the curation pipeline: governance gate ->
+    extraction -> per-document quality columns (Gopher keep flag, lang,
+    quality score), written append-mode with exactly-once checkpointing.
+
+    Only the PER-DOCUMENT stages stream — they are stateless maps/
+    filters, so stream == batch byte-for-byte (pinned in tests).  The
+    corpus-WIDE stages (line dedup, exact dedup, domain cap, packing)
+    are deliberately batch jobs over the accumulated table: their
+    semantics depend on the whole corpus, and recomputing them per
+    micro-batch would change results with arrival order (the
+    stateful-dedup module covers the streaming-native variant with
+    explicit cross-batch state instead).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.governance import domain_blocked_expr, robots_noindex_expr
+    from ..functions.textstats import gopher_flags, lang_id_expr, quality_score_expr
+
+    pages = spark.readStream.schema(PAGES_DDL).parquet(input_dir)
+    admitted = pages.where(
+        ~domain_blocked_expr(list(blocked_domains or []))
+        & ~robots_noindex_expr(F.col("html").cast("string"))
+    )
+    extracted = extract_pages(admitted).where(F.col("success"))
+    gf = gopher_flags("extracted_text")
+    curated = extracted.select(
+        "url",
+        "warc_ts",
+        F.col("extracted_text").alias("text"),
+        lang_id_expr("extracted_text").alias("lang"),
+        F.round(quality_score_expr("extracted_text"), 6).alias("quality"),
+        gf["keep"].alias("gopher_keep"),
+    )
+    writer = (
+        curated.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -65,3 +65,73 @@ def test_stream_dedup_stateful(spark, tmp_path):
     # state persisted across drains: the 10 re-fetches added ZERO rows
     assert again.count() == n_first
     assert again.select("fp").distinct().count() == n_first
+
+
+def test_stream_curate_equals_batch(spark, tmp_path):
+    """Per-document curation stages through the streaming path produce
+    byte-identical rows to the same expressions run in batch — including
+    a planted blocked-domain page and a noindex page that must be gated
+    out BEFORE extraction on both paths."""
+    import pyspark.sql.functions as F
+
+    from gonova_document_parser_spark.functions.governance import (
+        domain_blocked_expr,
+        robots_noindex_expr,
+    )
+    from gonova_document_parser_spark.functions.textstats import (
+        gopher_flags,
+        lang_id_expr,
+        quality_score_expr,
+    )
+    from gonova_document_parser_spark.operators.extract import extract_pages
+    from gonova_document_parser_spark.streaming.pipeline import stream_curate
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    pages = generate_pages(spark, 80, num_partitions=2)
+    extra = spark.createDataFrame(
+        [
+            ("https://spam.example.net/x",
+             b"<html><body><div><p>" + b"blocked words " * 20 + b"</p></div></body></html>"),
+            ("https://docs.example.com/noidx",
+             b'<html><head><meta name="robots" content="noindex"></head><body><div><p>'
+             + b"opted out words " * 20 + b"</p></div></body></html>"),
+        ],
+        "url string, html binary",
+    ).select(
+        "url", F.lit(None).cast("timestamp").alias("warc_ts"), "html",
+        F.lit("").alias("text"), F.lit("und").alias("lang"),
+    )
+    pages.unionByName(extra).write.parquet(inp)
+
+    q = stream_curate(spark, inp, out, ckpt, blocked_domains=["spam.example.net"])
+    assert q.awaitTermination(180)
+    streamed = {
+        (r["url"], r["text"], r["lang"], r["quality"], r["gopher_keep"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch_pages = spark.read.parquet(inp)
+    admitted = batch_pages.where(
+        ~domain_blocked_expr(["spam.example.net"])
+        & ~robots_noindex_expr(F.col("html").cast("string"))
+    )
+    ex = extract_pages(admitted).where(F.col("success"))
+    gf = gopher_flags("extracted_text")
+    batch = {
+        (r["url"], r["text"], r["lang"], r["quality"], r["gopher_keep"])
+        for r in ex.select(
+            "url",
+            F.col("extracted_text").alias("text"),
+            lang_id_expr("extracted_text").alias("lang"),
+            F.round(quality_score_expr("extracted_text"), 6).alias("quality"),
+            gf["keep"].alias("gopher_keep"),
+        ).collect()
+    }
+    assert streamed == batch
+    urls = {u for u, *_ in streamed}
+    assert "https://spam.example.net/x" not in urls
+    assert "https://docs.example.com/noidx" not in urls
+    # every successfully-extracted corpus page came through (the corpus
+    # plants some scanned/error pages, which success=False drops on BOTH
+    # paths identically)
+    assert len(urls) == ex.count() > 60
