@@ -689,6 +689,49 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+_DELTA_TWIN_TEXT = (
+    "delta twin content repeated for shingles alpha beta gamma delta epsilon zeta"
+)
+
+
+def _q_incr_dedup(spark, sf_dir):
+    """Incremental near-dup dedup of a crawl delta against the corpus's
+    persisted minhash band store — the corpus is NEVER re-shingled.
+    Planted delta: exact copies of doc_id<10 (must match the store),
+    two identical fresh twins (the larger flags dup_in_delta on the
+    smaller), and 8 genuinely novel docs (must keep).  The affine
+    minhash family makes the whole pipeline — store bands, delta bands,
+    both joins, min-representative selection — DuckDB-reproducible."""
+    from gonova_document_parser_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_bands,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    store = minhash_bands(d, hash_fn="affine")
+    copies = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 9200000).alias("doc_id"), "text"
+    )
+    twins = spark.createDataFrame(
+        [(9300000, _DELTA_TWIN_TEXT), (9300001, _DELTA_TWIN_TEXT)],
+        "doc_id long, text string",
+    )
+    # every word carries the doc id, so fresh docs share ZERO shingles with
+    # the store or each other — no LSH band can legitimately match
+    sid = F.col("doc_id").cast("string")
+    fresh = d.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 9400000).alias("doc_id"),
+        F.concat(
+            F.lit("novel"), sid, F.lit(" delta"), sid,
+            F.lit(" document"), sid, F.lit(" unique"), sid,
+            F.lit(" words"), sid, F.lit(" qq"), sid,
+        ).alias("text"),
+    )
+    delta = copies.unionByName(twins).unionByName(fresh)
+    verdicts, _ = incremental_minhash_dedup(delta, store, hash_fn="affine")
+    return verdicts
+
+
 def _q_crawl_diff(spark, sf_dir):
     """Snapshot diff between the corpus and a deterministically mutated
     re-crawl: doc_id%13==0 disappears (removed), doc_id%11==0 gets a
@@ -1178,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": _q_sample_mix,
         "hash_split": _q_hash_split,
         "governance_filter": _q_governance_filter,
+        "incr_dedup": _q_incr_dedup,
         "crawl_diff": _q_crawl_diff,
         "seq_pack": _q_seq_pack,
         "latest_snapshot": _q_latest_snapshot,
@@ -1868,6 +1912,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, noindex, domain_blocked,
                    NOT (noindex OR domain_blocked) AS keep
             FROM flags
+        """,
+        "incr_dedup": rf"""
+            WITH delta_docs AS (
+                SELECT doc_id + 9200000 AS doc_id, text
+                FROM documents WHERE doc_id < 10
+                UNION ALL
+                SELECT 9300000, '{_DELTA_TWIN_TEXT}'
+                UNION ALL
+                SELECT 9300001, '{_DELTA_TWIN_TEXT}'
+                UNION ALL
+                SELECT doc_id + 9400000 AS doc_id,
+                       'novel' || doc_id || ' delta' || doc_id ||
+                       ' document' || doc_id || ' unique' || doc_id ||
+                       ' words' || doc_id || ' qq' || doc_id AS text
+                FROM documents WHERE doc_id < 8),
+            all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM delta_docs),
+            words AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM all_docs),
+            sh0 AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+                WHERE len(w) >= 3),
+            sh AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                         % 2147483647 AS h0
+                FROM sh0),
+            params(i, a, b) AS (VALUES {_affine_values()}),
+            sigs AS (
+                SELECT doc_id, p.i, MIN((p.a * h0 + p.b) % 2147483647) AS sig
+                FROM sh, params p GROUP BY doc_id, p.i),
+            all_bands AS (
+                SELECT doc_id, i // 4 AS band_id,
+                       md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i))
+                         AS band_hash
+                FROM sigs GROUP BY doc_id, i // 4),
+            store_bands AS (SELECT * FROM all_bands WHERE doc_id < 9200000),
+            delta_bands AS (SELECT * FROM all_bands WHERE doc_id >= 9200000),
+            vs_store AS (
+                SELECT d.doc_id, MIN(s.doc_id) AS dup_of_store
+                FROM delta_bands d JOIN store_bands s
+                  ON d.band_id = s.band_id AND d.band_hash = s.band_hash
+                GROUP BY d.doc_id),
+            within AS (
+                SELECT a.doc_id, MIN(b.doc_id) AS dup_in_delta
+                FROM delta_bands a JOIN delta_bands b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND b.doc_id < a.doc_id
+                GROUP BY a.doc_id)
+            SELECT dd.doc_id, v.dup_of_store, w2.dup_in_delta,
+                   (v.dup_of_store IS NULL AND w2.dup_in_delta IS NULL) AS keep
+            FROM delta_docs dd
+            LEFT JOIN vs_store v ON v.doc_id = dd.doc_id
+            LEFT JOIN within w2 ON w2.doc_id = dd.doc_id
         """,
         "crawl_diff": """
             WITH old_snap AS (

@@ -221,6 +221,115 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows — the SIGNATURE-STORE row
+    format: persist these per corpus and any future delta can dedup
+    against the corpus by equi-joining band keys, never recomputing old
+    documents (see ``incremental_minhash_dedup``)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+
+    def band_hash(b: int):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn in ("md5", "affine"):
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            band_hash(b).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a crawl DELTA against an accumulated signature store.
+
+    The batch pair generator recomputes every document's signature; at
+    10^12 documents a daily delta must not re-shingle the corpus.  The
+    store holds one ``minhash_bands`` row set per kept document
+    (bands x 1 rows/doc, ~40 bytes each); a delta then costs: shingle
+    the DELTA only, one band equi-join against the store, one band
+    self-join within the (small) delta.
+
+    Pinned verdict rule (deterministic, order-free):
+      - ``dup_of_store``: the MIN store id sharing any band with the new
+        doc (NULL if none) — the representative the content already has;
+      - ``dup_in_delta``: the MIN smaller delta id sharing any band
+        (NULL if none).  Conservative corner, documented: a delta doc
+        whose smaller twin is itself a store-dup still drops — its
+        content is represented in the store via the twin's match;
+      - ``keep`` = both NULL.
+
+    Returns (verdicts, bands_to_append): append ``bands_to_append``
+    (kept docs' band rows only) to the store so the next delta sees
+    exactly one representative per near-dup class.
+    """
+    delta_bands = minhash_bands(
+        new_docs, id_col, text_col, n, num_hashes, bands, hash_fn
+    ).localCheckpoint(eager=False)  # shingling runs once, not per consumer
+    store = store_bands.select(
+        F.col(id_col).alias("_sid"), "band_id", "band_hash"
+    )
+    vs_store = (
+        delta_bands.join(store, ["band_id", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.min("_sid").alias("dup_of_store"))
+    )
+    a = delta_bands.alias("a")
+    b = delta_bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"b.{id_col}")).alias("dup_in_delta"))
+    )
+    verdicts = (
+        new_docs.select(id_col)
+        .join(vs_store, id_col, "left")
+        .join(within, id_col, "left")
+        .select(
+            id_col,
+            "dup_of_store",
+            "dup_in_delta",
+            (F.col("dup_of_store").isNull() & F.col("dup_in_delta").isNull()).alias(
+                "keep"
+            ),
+        )
+    )
+    bands_to_append = delta_bands.join(
+        verdicts.where("keep").select(id_col), id_col, "left_semi"
+    )
+    return verdicts, bands_to_append
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,26 +348,7 @@ def minhash_lsh_candidates(
     signature agreement afterwards).  ``hash_fn`` as in
     ``minhash_signatures``; with md5 the band hash is md5 of the
     comma-joined signature decimals (also DuckDB-reproducible)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
-
-    def band_hash(b: int):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_fn in ("md5", "affine"):
-            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        return F.xxhash64(*cols)
-
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            band_hash(b).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = minhash_bands(df, id_col, text_col, n, num_hashes, bands, hash_fn)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -768,6 +768,47 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_incremental_minhash_dedup_store_roundtrip(spark):
+    """Appending a delta's kept bands to the store makes a REPLAY of the
+    same delta all-duplicate (each doc resolves to its earlier self or
+    its representative), and a second genuinely-new delta still keeps —
+    the exactly-once property an incremental dedup store must have."""
+    from gonova_document_parser_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_bands,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document {i} talks about topic{i} extensively "
+              f"and then repeats topic{i} words topic{i} more") for i in range(20)],
+        "doc_id long, text string",
+    )
+    store = minhash_bands(corpus)
+    delta = spark.createDataFrame(
+        [
+            (100, "corpus document 3 talks about topic3 extensively "
+                  "and then repeats topic3 words topic3 more"),  # exact copy
+            (101, "fresh delta fresh content fresh words completely new here"),
+        ],
+        "doc_id long, text string",
+    )
+    v1, append1 = incremental_minhash_dedup(delta, store)
+    r1 = {r["doc_id"]: r for r in v1.collect()}
+    assert r1[100]["dup_of_store"] == 3 and not r1[100]["keep"]
+    assert r1[101]["keep"]
+    # only the keeper's bands append
+    assert {r["doc_id"] for r in append1.select("doc_id").distinct().collect()} == {101}
+
+    store2 = store.unionByName(append1)
+    # replaying the same delta with NEW ids: both now duplicate
+    replay = delta.selectExpr("doc_id + 1000 as doc_id", "text")
+    v2, append2 = incremental_minhash_dedup(replay, store2)
+    r2 = {r["doc_id"]: r for r in v2.collect()}
+    assert r2[1100]["dup_of_store"] == 3 and not r2[1100]["keep"]
+    assert r2[1101]["dup_of_store"] == 101 and not r2[1101]["keep"]
+    assert append2.count() == 0
+
+
 def test_crawl_diff_statuses(spark):
     from gonova_document_parser_spark.functions.diff import crawl_diff
 
