@@ -69,6 +69,9 @@ HEADLINE = [
     "hash_split",
     "seq_pack",
     "governance_filter",
+    "crawl_diff",
+    "topic_mix",
+    "incr_dedup",
     "host_graph",
     # host_pagerank and dedup_clusters are deliberately NOT headline rows:
     # both are iterative driver loops whose local wall is dominated by the
