@@ -689,6 +689,16 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+def _q_rare_words(spark, sf_dir):
+    """Rare-word (OOV/noisiness) quality signal: fraction of each doc's
+    tokens whose corpus-wide occurrence count is <= 2.  Zipf makes the
+    COMMON vocab the small side, so rarity is a broadcast-join miss; the
+    oracle recomputes corpus counts and per-doc ratios exactly."""
+    from gonova_document_parser_spark.functions.textstats import rare_word_stats
+
+    return rare_word_stats(_docs(spark, sf_dir), max_count=2)
+
+
 _DELTA_TWIN_TEXT = (
     "delta twin content repeated for shingles alpha beta gamma delta epsilon zeta"
 )
@@ -1222,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "governance_filter": _q_governance_filter,
         "incr_dedup": _q_incr_dedup,
+        "rare_words": _q_rare_words,
         "crawl_diff": _q_crawl_diff,
         "seq_pack": _q_seq_pack,
         "latest_snapshot": _q_latest_snapshot,
@@ -1912,6 +1923,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, noindex, domain_blocked,
                    NOT (noindex OR domain_blocked) AS keep
             FROM flags
+        """,
+        "rare_words": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents),
+            counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+            flagged AS (
+                SELECT t.doc_id, (c.n <= 2) AS rare
+                FROM toks t JOIN counts c USING (tok))
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   SUM(CASE WHEN rare THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+                   ROUND(SUM(CASE WHEN rare THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+                         6)::DOUBLE AS rare_ratio
+            FROM flagged GROUP BY doc_id
         """,
         "incr_dedup": rf"""
             WITH delta_docs AS (

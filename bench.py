@@ -70,6 +70,7 @@ HEADLINE = [
     "seq_pack",
     "governance_filter",
     "crawl_diff",
+    "rare_words",
     "topic_mix",
     "incr_dedup",
     "host_graph",

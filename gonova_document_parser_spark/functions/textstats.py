@@ -213,3 +213,57 @@ def bpe_token_count_udf(merges: list[tuple[str, str]]):
         )
 
     return _count
+
+
+def rare_word_stats(
+    df,
+    max_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_hot: bool = True,
+):
+    """Per-doc rare-word ratio — the OOV/noisiness quality signal.
+
+    A token is RARE when its corpus-wide occurrence count is at most
+    ``max_count``; gibberish, OCR damage, and boilerplate-stripped
+    residue score high, clean prose scores low.  Returns
+    (id_col, n_tokens, n_rare, rare_ratio) with rare_ratio rounded to
+    6 dp over exact integer counts.
+
+    Scale shape (same as line_dedup's hot-line trick, inverted): Zipf
+    means the COMMON vocabulary (count > max_count) is the small side —
+    it covers most occurrences but few types — so it broadcasts and
+    rarity is a broadcast left-join miss; the corpus-wide token count is
+    ONE map-side-combined groupBy.  ``broadcast_hot=False`` falls back
+    to a shuffle join for corpora whose common vocab outgrows the
+    broadcast budget.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.partitioning import fan_out
+
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_count)
+        .select("tok", F.lit(True).alias("_common"))
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    flagged = toks.join(hot, "tok", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_common").isNull(), 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_ratio"),
+        )
+    )

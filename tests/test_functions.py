@@ -768,6 +768,25 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_rare_word_stats(spark):
+    from gonova_document_parser_spark.functions.textstats import rare_word_stats
+
+    docs = [
+        (1, "common common common zyzzyva"),   # 1 rare of 4
+        (2, "common words words xqxq wwvv"),   # xqxq wwvv rare; 'words' appears 3x total
+        (3, "words common unique3"),           # unique3 rare
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for bc in (True, False):  # broadcast and shuffle paths agree
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_ratio"])
+            for r in rare_word_stats(df, max_count=2, broadcast_hot=bc).collect()
+        }
+        assert got[1] == (4, 1, 0.25)
+        assert got[2] == (5, 2, 0.4)
+        assert got[3] == (3, 1, round(1 / 3, 6))
+
+
 def test_incremental_minhash_dedup_store_roundtrip(spark):
     """Appending a delta's kept bands to the store makes a REPLAY of the
     same delta all-duplicate (each doc resolves to its earlier self or
