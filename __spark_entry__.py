@@ -689,6 +689,26 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+def _q_script_stats(spark, sf_dir):
+    """Writing-script composition with planted multilingual suffixes
+    (Cyrillic / Arabic / CJK appended by doc_id residue) — dominant
+    script, per-script codepoint counts, and the mixed-script spam flag,
+    all from literal codepoint ranges both engines run verbatim."""
+    from gonova_document_parser_spark.functions.textstats import script_stats
+
+    d = _docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 9 == 1, F.lit(" привет мир данные корпус"))
+        .when(F.col("doc_id") % 9 == 2, F.lit(" مرحبا بالعالم نص عربي"))
+        .when(F.col("doc_id") % 9 == 3, F.lit(" 東京 大阪 データ 코퍼스"))
+        .otherwise(F.lit(""))
+    )
+    mutated = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return script_stats(mutated)
+
+
 def _q_rare_words(spark, sf_dir):
     """Rare-word (OOV/noisiness) quality signal: fraction of each doc's
     tokens whose corpus-wide occurrence count is <= 2.  Zipf makes the
@@ -1232,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "governance_filter": _q_governance_filter,
         "incr_dedup": _q_incr_dedup,
+        "script_stats": _q_script_stats,
         "rare_words": _q_rare_words,
         "crawl_diff": _q_crawl_diff,
         "seq_pack": _q_seq_pack,
@@ -1261,6 +1282,53 @@ _LANG_HITS = {
     for lang in ("en", "fr", "es", "de")
 }
 
+
+
+def _script_stats_oracle_sql() -> str:
+    """DuckDB twin of script_stats over the identically-mutated corpus:
+    the literal codepoint ranges come from the SAME module constant, so
+    engine and oracle can never drift."""
+    from gonova_document_parser_spark.functions.textstats import SCRIPT_RANGES
+
+    r = SCRIPT_RANGES
+    counts = ",\n                       ".join(
+        f"len(regexp_extract_all(text, '{r[k]}'))::INT AS n_{k}"
+        for k in ("latin", "cjk", "cyrillic", "arabic", "digit")
+    )
+    return f"""
+        WITH mutated AS (
+            SELECT doc_id,
+                   text || CASE
+                     WHEN doc_id % 9 = 1 THEN ' привет мир данные корпус'
+                     WHEN doc_id % 9 = 2 THEN ' مرحبا بالعالم نص عربي'
+                     WHEN doc_id % 9 = 3 THEN ' 東京 大阪 データ 코퍼스'
+                     ELSE '' END AS text
+            FROM documents),
+        counted AS (
+            SELECT doc_id,
+                   {counts}
+            FROM mutated),
+        scored AS (
+            SELECT *,
+                   (n_latin + n_cjk + n_cyrillic + n_arabic + n_digit) AS total,
+                   GREATEST(n_latin, n_cjk, n_cyrillic, n_arabic, n_digit) AS best
+            FROM counted)
+        SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_digit,
+               CASE WHEN total = 0 THEN 'none'
+                    WHEN n_latin = best THEN 'latin'
+                    WHEN n_cjk = best THEN 'cjk'
+                    WHEN n_cyrillic = best THEN 'cyrillic'
+                    WHEN n_arabic = best THEN 'arabic'
+                    WHEN n_digit = best THEN 'digit'
+                    ELSE 'none' END AS dominant_script,
+               ((CASE WHEN n_latin > 0 AND n_latin * 5 >= total THEN 1 ELSE 0 END
+               + CASE WHEN n_cjk > 0 AND n_cjk * 5 >= total THEN 1 ELSE 0 END
+               + CASE WHEN n_cyrillic > 0 AND n_cyrillic * 5 >= total THEN 1 ELSE 0 END
+               + CASE WHEN n_arabic > 0 AND n_arabic * 5 >= total THEN 1 ELSE 0 END
+               + CASE WHEN n_digit > 0 AND n_digit * 5 >= total THEN 1 ELSE 0 END)
+                 >= 2) AS mixed_script
+        FROM scored
+    """
 
 
 def _noindex_sql_pattern(which: int) -> str:
@@ -1924,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
                    NOT (noindex OR domain_blocked) AS keep
             FROM flags
         """,
+        "script_stats": _script_stats_oracle_sql(),
         "rare_words": """
             WITH toks AS (
                 SELECT doc_id,

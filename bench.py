@@ -71,6 +71,7 @@ HEADLINE = [
     "governance_filter",
     "crawl_diff",
     "rare_words",
+    "script_stats",
     "topic_mix",
     "incr_dedup",
     "host_graph",

@@ -267,3 +267,51 @@ def rare_word_stats(
             F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_ratio"),
         )
     )
+
+
+# Writing-script codepoint ranges shared VERBATIM with the DuckDB oracle:
+# literal range classes (not \p{script=...}) because Java regex spells
+# scripts \p{IsLatin} while RE2 spells them \p{Latin} — a literal range
+# means both engines run the identical pattern.
+SCRIPT_RANGES = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ÿĀ-ſ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "arabic": "[؀-ۿ]",
+    "cjk": "[一-鿿぀-ゟ゠-ヿ가-힣]",  # han + hiragana + katakana + hangul
+    "digit": "[0-9]",
+}
+_SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "digit")
+
+
+def script_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Writing-system composition per document — the multilingual
+    curation signal (script-targeted corpus selection, mixed-script spam
+    detection, transliteration-noise gates).
+
+    Returns (id_col, n_latin, n_cyrillic, n_arabic, n_cjk, n_digit,
+    dominant_script, mixed_script): counts are codepoint matches of the
+    shared literal ranges; ``dominant_script`` is the argmax with a
+    FIXED priority order on ties (latin, cjk, cyrillic, arabic, digit —
+    deterministic, like lang_id), 'none' when no script matches;
+    ``mixed_script`` is true when two different scripts each hold >= 20%
+    of the scripted characters (the classic spam/injection shape).
+    Pure column expressions — codegen, no shuffle at all.
+    """
+    c = F.col(text_col)
+    n = {k: F.regexp_count(c, F.lit(r)) for k, r in SCRIPT_RANGES.items()}
+    total = sum(n.values(), F.lit(0))
+    best = F.greatest(*n.values())
+    dom = F.when(total == 0, F.lit("none"))
+    for k in _SCRIPT_PRIORITY:
+        dom = dom.when(n[k] == best, F.lit(k))
+    # two scripts >= 20% of scripted chars each (5*count >= total)
+    over20 = sum(
+        (F.when((n[k] > 0) & (n[k] * 5 >= total), 1).otherwise(0))
+        for k in _SCRIPT_PRIORITY
+    )
+    return df.select(
+        F.col(id_col),
+        *[n[k].alias(f"n_{k}") for k in _SCRIPT_PRIORITY],
+        dom.otherwise(F.lit("none")).alias("dominant_script"),
+        (over20 >= 2).alias("mixed_script"),
+    )

@@ -74,7 +74,6 @@ def curate(
         domain_blocked_expr(blocked_domains).alias("_blocked"),
         robots_noindex_expr(F.col("html").cast("string")).alias("_noindex"),
     )
-    n_input, n_gov = None, None  # folded into the final metrics aggregate
     admitted = gov.where(~F.col("_blocked") & ~F.col("_noindex")).drop(
         "_blocked", "_noindex"
     )

@@ -768,6 +768,36 @@ def test_line_dedup_matches_python_reference_on_random_corpus(spark):
     assert got == expect
 
 
+def test_script_stats_dominant_and_mixed(spark):
+    from gonova_document_parser_spark.functions.textstats import script_stats
+
+    rows = [
+        (1, "plain english words only"),
+        (2, "привет мир кириллица здесь"),
+        (3, "مرحبا بالعالم نص عربي"),
+        (4, "東京と大阪のデータ"),
+        (5, "한국어 코퍼스 문서"),          # hangul counts as cjk range
+        (6, "12345 67890"),               # digits only
+        (7, ""),                          # none
+        (8, "english текст пополам"),     # latin+cyrillic both >= 20% -> mixed
+        (9, "word " * 50 + "я"),          # tiny cyrillic tail: NOT mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dominant_script"], r["mixed_script"])
+        for r in script_stats(df).collect()
+    }
+    assert got[1] == ("latin", False)
+    assert got[2] == ("cyrillic", False)
+    assert got[3] == ("arabic", False)
+    assert got[4] == ("cjk", False)
+    assert got[5] == ("cjk", False)
+    assert got[6] == ("digit", False)
+    assert got[7] == ("none", False)
+    assert got[8][1] is True
+    assert got[9] == ("latin", False)
+
+
 def test_rare_word_stats(spark):
     from gonova_document_parser_spark.functions.textstats import rare_word_stats
 
