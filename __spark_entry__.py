@@ -656,8 +656,10 @@ def _q_governance_filter(spark, sf_dir):
     identical pages and replays the same RE2 regexes and suffix
     matching in DuckDB."""
     from gonova_document_parser_spark.functions.governance import governance_flags
+    from gonova_document_parser_spark.plans.partitioning import fan_out
 
-    d = _docs(spark, sf_dir)
+    # two big (?i) regexes per row over a 1-file compacted scan
+    d = fan_out(_docs(spark, sf_dir))
     host = (
         F.when(F.col("doc_id") % 5 == 0, F.lit("docs.example.com"))
         .when(F.col("doc_id") % 5 == 1, F.lit("sub.spam.example.net"))
@@ -695,8 +697,9 @@ def _q_script_stats(spark, sf_dir):
     script, per-script codepoint counts, and the mixed-script spam flag,
     all from literal codepoint ranges both engines run verbatim."""
     from gonova_document_parser_spark.functions.textstats import script_stats
+    from gonova_document_parser_spark.plans.partitioning import fan_out
 
-    d = _docs(spark, sf_dir)
+    d = fan_out(_docs(spark, sf_dir))  # 5 regex counts/row over a 1-file scan
     suffix = (
         F.when(F.col("doc_id") % 9 == 1, F.lit(" привет мир данные корпус"))
         .when(F.col("doc_id") % 9 == 2, F.lit(" مرحبا بالعالم نص عربي"))
@@ -770,8 +773,10 @@ def _q_crawl_diff(spark, sf_dir):
     must read UNCHANGED through normalization).  One full-outer join on
     16-byte fingerprints; DuckDB replays it exactly."""
     from gonova_document_parser_spark.functions.diff import crawl_diff
+    from gonova_document_parser_spark.plans.partitioning import fan_out
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # md5-of-normalized-text per row over a 1-file compacted scan
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     url = F.concat(F.lit("https://docs.example.com/d/"), F.col("doc_id"))
     old = d.select(url.alias("url"), "text")
     mutated = (

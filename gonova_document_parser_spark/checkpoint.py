@@ -414,7 +414,17 @@ def run_with_checkpoint(
     """
     run_id = run_id or uuid.uuid4().hex
 
-    corpus = partitioned(pages, n_partitions)
+    # A source that ALREADY carries partition_id (stage_bucketed_table's
+    # output, or a restaged copy) must keep its stored COLUMN: recomputing
+    # via withColumn would replace the bucketed table's attribute with a
+    # fresh pmod(xxhash64(url)) expression — same values, but the wave
+    # filter then no longer references the bucket column and bucket
+    # pruning silently turns off (verified in the executed plan).  The
+    # stored values are the same pure function of url, so trusting the
+    # column is exact; `partitioned` is only needed for raw page sources.
+    corpus = (
+        pages if "partition_id" in pages.columns else partitioned(pages, n_partitions)
+    )
     done = completed_partitions(spark, checkpoint_path, run_id, input_snapshot)
     done_ids = {r["partition_id"] for r in done.collect()}  # <= n_partitions ints
     todo_ids = sorted(set(range(n_partitions)) - done_ids)

@@ -186,13 +186,17 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
-    from ..spec.bpe import encode
+    from ..spec.bpe import encode, make_ranks
+
+    ranks = make_ranks(merges)  # once, in the closure — not per row
 
     @pandas_udf(ArrayType(StringType()))
     def _encode(texts: pd.Series) -> pd.Series:
         cache: dict = {}
         return texts.map(
-            lambda t: encode(t, merges, _cache=cache) if t is not None else []
+            lambda t: encode(t, merges, _cache=cache, _ranks=ranks)
+            if t is not None
+            else []
         )
 
     return _encode
@@ -203,13 +207,17 @@ def bpe_token_count_udf(merges: list[tuple[str, str]]):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
-    from ..spec.bpe import encode
+    from ..spec.bpe import encode, make_ranks
+
+    ranks = make_ranks(merges)  # once, in the closure — not per row
 
     @pandas_udf(IntegerType())
     def _count(texts: pd.Series) -> pd.Series:
         cache: dict = {}
         return texts.map(
-            lambda t: len(encode(t, merges, _cache=cache)) if t is not None else 0
+            lambda t: len(encode(t, merges, _cache=cache, _ranks=ranks))
+            if t is not None
+            else 0
         )
 
     return _count

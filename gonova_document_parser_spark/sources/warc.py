@@ -61,6 +61,11 @@ def _decode_chunked(body: bytes) -> bytes | None:
             size = int(size_token, 16)
         except ValueError:
             return None if pos == 0 else bytes(out)
+        if size < 0:
+            # int(b'-6', 16) parses: a negative "size" would walk pos
+            # BACKWARDS and loop forever appending the body tail — treat
+            # hostile/corrupt framing like the non-hex case
+            return None if pos == 0 else bytes(out)
         pos = eol + 2
         if size == 0:
             return bytes(out)

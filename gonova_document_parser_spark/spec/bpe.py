@@ -124,14 +124,26 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-def encode(text: str, merges: list[tuple[str, str]], _cache: dict | None = None) -> list[str]:
+def make_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Precompute the pair -> rank map once (the UDFs build it per batch
+    closure, not per row)."""
+    return {p: i for i, p in enumerate(merges)}
+
+
+def encode(
+    text: str,
+    merges: list[tuple[str, str]],
+    _cache: dict | None = None,
+    _ranks: dict | None = None,
+) -> list[str]:
     """Full-text BPE: pre-tokenize, then merge-encode each pre-token.
 
     ``_cache`` (word -> encoded tuple) amortizes repeated words; the
     Arrow UDF passes a per-batch dict (natural-language word frequency
-    is Zipfian, so the hit rate is high).
+    is Zipfian, so the hit rate is high).  ``_ranks`` skips the per-call
+    rank-map build when the caller precomputed it via ``make_ranks``.
     """
-    ranks = {p: i for i, p in enumerate(merges)}
+    ranks = _ranks if _ranks is not None else make_ranks(merges)
     out: list[str] = []
     for w in pretokens(text):
         if _cache is None:

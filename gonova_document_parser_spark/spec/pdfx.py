@@ -89,14 +89,26 @@ def _is_encrypted(data: bytes) -> bool:
         if d is not None and _ENCRYPT_RE.search(d) is not None:
             return True
     # xref-stream layout: no "trailer" keyword; the trailer keys live in
-    # the /Type /XRef stream dict
+    # the /Type /XRef stream dict.  Walk candidate "<<" openers BACKWARDS
+    # until one's balanced span covers the /Type /XRef match — the
+    # nearest "<<" may close a NESTED dict (/DecodeParms << ... >>
+    # regularly precedes /Type in real xref streams, and key order is
+    # unspecified), whose span would miss /Encrypt in the outer dict.
     for m in _XREF_TYPE_RE.finditer(data):
-        start = data.rfind(b"<<", 0, m.start())
-        if start == -1:
-            continue
-        d = _balanced_dict(data, start)
-        if d is not None and _ENCRYPT_RE.search(d) is not None:
-            return True
+        search_end = m.start()
+        while True:
+            start = data.rfind(b"<<", 0, search_end)
+            if start == -1:
+                break
+            d = _balanced_dict(data, start)
+            if d is not None and start + len(d) > m.start():
+                # this dict's span covers the /Type /XRef key: it IS the
+                # xref stream dict (or an ancestor — either way /Encrypt
+                # inside it marks encryption)
+                if _ENCRYPT_RE.search(d) is not None:
+                    return True
+                break
+            search_end = start
     return False
 
 

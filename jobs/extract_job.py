@@ -55,11 +55,26 @@ def main(argv: list[str]) -> None:
     pages = read_pages(spark, source)
     if bucketed is not None:
         # reuse an existing staged table (resume path: the local catalog
-        # may have forgotten it — only restage when absent or stale)
-        if (
-            spark.catalog.tableExists(bucketed)
-            and spark.table(bucketed).count() == pages.count()
-        ):
+        # may have forgotten it — restage when absent or stale).  The
+        # staleness witness is the order-independent url-set digest, NOT
+        # a row count: a re-crawl that refetches the same url set with
+        # new bytes keeps the count but must restage.
+        def _url_digest(df):
+            from pyspark.sql import functions as F
+
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("h"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64(F.md5("html"))), F.lit(0)
+                ).alias("c"),
+            ).collect()[0]
+
+        reuse = False
+        if spark.catalog.tableExists(bucketed):
+            a, b = _url_digest(spark.table(bucketed)), _url_digest(pages)
+            reuse = (a["n"], a["h"], a["c"]) == (b["n"], b["h"], b["c"])
+        if reuse:
             spark.conf.set(
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
             )

@@ -333,8 +333,13 @@ def test_bucketed_table_wave_pruning(spark, paths):
     pages = generate_pages(spark, 200, num_partitions=4)
     t = stage_bucketed_table(spark, pages, "corpus_bucketed_test", N_PARTS)
     try:
-        # plan assertion: a 2-partition wave filter reads 2 of N buckets
-        wave = t.where(F.col("partition_id").isin([1, 5]))
+        # plan assertion: a 2-partition wave filter reads 2 of N buckets —
+        # including the EXACT shape run_with_checkpoint builds (bytes_in
+        # added, partition_id kept as the STORED column; recomputing it
+        # via withColumn would silently disable pruning)
+        wave = t.where(F.col("partition_id").isin([1, 5])).withColumn(
+            "bytes_in", F.octet_length("html").cast("long")
+        )
         plan = wave._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
         assert m, f"no bucket pruning in plan:\n{plan[:800]}"

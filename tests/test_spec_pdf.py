@@ -381,3 +381,21 @@ def test_tj_kerning_offsets_become_spaces():
     content = b"BT 1 0 0 1 50 700 Tm [(Hel) -20 (lo) -250 (world) -500 (x)] TJ ET"
     pages = extract_pdf_pages(_doc([content]))
     assert pages[0][0][1] == "Hello world x"
+
+
+def test_encrypt_in_xref_dict_behind_nested_dict():
+    """Real xref streams carry nested dicts (/DecodeParms << ... >>)
+    BEFORE /Type — the balanced-dict walk must still find /Encrypt in
+    the outer dict."""
+    from gonova_document_parser_spark.spec.pdfx import _is_encrypted
+
+    doc = (
+        b"%PDF-1.5\n1 0 obj\n<< /DecodeParms << /Columns 5 /Predictor 12 >> "
+        b"/Type /XRef /Size 7 /Encrypt 5 0 R /W [1 2 1] >>\nendobj\n%%EOF\n"
+    )
+    assert _is_encrypted(doc)
+    benign = (
+        b"%PDF-1.5\n1 0 obj\n<< /DecodeParms << /Columns 5 >> "
+        b"/Type /XRef /Size 7 >>\nendobj\n%%EOF\n"
+    )
+    assert not _is_encrypted(benign)

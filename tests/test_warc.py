@@ -184,3 +184,13 @@ def test_gunzip_best_effort_multi_member_and_truncation():
     assert out.startswith(b"alpha ")
     # pure garbage after the magic bytes: no exception
     assert isinstance(_gunzip_best_effort(b"\x1f\x8b\x00junk"), bytes)
+
+
+def test_chunked_decoder_rejects_negative_sizes():
+    """int(b'-6', 16) parses — a negative 'size' must not walk the cursor
+    backwards into an infinite loop (hostile-framing DoS guard)."""
+    from gonova_document_parser_spark.sources.warc import _decode_chunked
+
+    assert _decode_chunked(b"-6\r\nABCDEFGH\r\n0\r\n\r\n") is None
+    # negative size after a valid chunk: keep the decoded prefix
+    assert _decode_chunked(b"3\r\nabc\r\n-5\r\njunk\r\n0\r\n\r\n") == b"abc"
