@@ -657,6 +657,7 @@ def _cc_large_small_star(
     )
     n_edges = e.count()
     rounds = 0
+    converged = n_edges == 0
     for rounds in range(1, max_iter + 1):
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
@@ -681,8 +682,20 @@ def _cc_large_small_star(
         n_new = e_new.count()
         if n_new == n_edges and e_new.subtract(e).count() == 0:
             e = e_new
+            converged = True
             break
         e, n_edges = e_new, n_new
+    if not converged:
+        # a mid-convergence edge set is NOT a star: one node may still
+        # hold edges to several candidate roots, and deriving labels from
+        # it would emit duplicate contradictory (id, cluster_id) rows
+        # with no error.  Rounds grow ~log(diameter), so hitting the cap
+        # means the graph's chains are far longer than the caller sized
+        # for — fail loudly instead of corrupting the clustering.
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds grow with log of the longest chain)"
+        )
     star = e.select(F.col("src").alias("id"), F.col("dst").alias("root"))
     labels = nodes.join(star, "id", "left").select(
         "id", F.coalesce("root", "id").alias("cluster_id")

@@ -42,18 +42,30 @@ def crawl_diff(
     Fingerprints are md5 hex of normalized text (lowercase, collapsed
     whitespace — the same canonical dedup key every other operator
     uses), so a reformatting-only refetch reads as unchanged.
+
+    Presence is tracked by explicit side markers, NOT fingerprint
+    nullability: a row with NULL text has a NULL fingerprint but is
+    still PRESENT in its snapshot (two NULL-text fetches of one url
+    compare unchanged via null-safe equality).  Precondition: url is
+    unique per snapshot — the canonical corpus key after
+    ``latest_snapshot``/``url_canonical_dedup``; duplicate urls would
+    fan the full-outer join out into contradictory status rows.
     """
     o = old.select(
-        F.col(url_col).alias("url"), F.md5(_norm(text_col)).alias("old_fp")
+        F.col(url_col).alias("url"),
+        F.md5(_norm(text_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(url_col).alias("url"), F.md5(_norm(text_col)).alias("new_fp")
+        F.col(url_col).alias("url"),
+        F.md5(_norm(text_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
     )
     joined = o.join(n, "url", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select("url", status.alias("status"), "old_fp", "new_fp")

@@ -20,13 +20,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 # one <meta ...> tag carrying BOTH name=robots and a noindex token in
 # content, either attribute order, both quote styles, case-insensitive.
 # RE2-safe (no backrefs/lookaround) so DuckDB reproduces it verbatim.
+# Token anchoring matters: the name value terminates at a quote/space/
+# slash so name="robots-extra" can NOT match, and noindex must start
+# the content value or follow a space/comma AND be followed by a
+# space/comma/closing-quote — content="nonoindexable" and
+# content="noindex-when-stale" are NOT opt-outs.  The name terminator
+# deliberately excludes ">" in the name-first form (consuming the tag
+# end would let [^>]* leak into the NEXT tag); the content-first form
+# needs ">" there because name=robots may legitimately end the tag.
 _NOINDEX_NAME_FIRST = (
-    r"""(?i)<meta\b[^>]*name\s*=\s*["']?robots["']?[^>]*"""
-    r"""content\s*=\s*["'][^"']*noindex"""
+    r"""(?i)<meta\b[^>]*\bname\s*=\s*["']?robots["'\s/]"""
+    r"""[^>]*\bcontent\s*=\s*["'](?:[^"']*[\s,])?noindex[\s,"']"""
 )
 _NOINDEX_CONTENT_FIRST = (
-    r"""(?i)<meta\b[^>]*content\s*=\s*["'][^"']*noindex[^"']*["']"""
-    r"""[^>]*name\s*=\s*["']?robots"""
+    r"""(?i)<meta\b[^>]*\bcontent\s*=\s*["'](?:[^"']*[\s,])?noindex[\s,"']"""
+    r"""[^>]*\bname\s*=\s*["']?robots["'\s/>]"""
 )
 
 

@@ -36,8 +36,12 @@ from __future__ import annotations
 
 import re
 
-# the same RE2-safe GPT-2-style pre-tokenizer the column expression uses
-# (textstats.BPE_TOKEN_RE) — one source of truth for the word split
+# the same pattern as textstats.word_token_count_expr's column expression
+# (alnum runs / single non-alnum, lowercased) — deliberately the SIMPLER
+# of the two pre-tokenizers, NOT textstats.BPE_TOKEN_RE (the contraction/
+# \p{L} GPT-2 one): merge training operates per word, where this split
+# is equivalent and keeps the committed merges fixture charset-stable.
+# Changing either copy changes spec token output AND the fixture bytes.
 PRETOKEN_RE = re.compile(r"([a-z0-9]+|[^\sa-z0-9])")
 
 

@@ -78,14 +78,31 @@ def _is_encrypted(data: bytes) -> bool:
     ``/Encrypt 5 0 R`` (uncompressed stream or literal string) as
     encrypted, deterministically reporting 0 chars and misrouting a doc
     with a real text layer to the OCR path.
+
+    Hostile-input bounds (this runs inside the extraction UDF for EVERY
+    pdf): at most ``_MAX_SITES`` trailer/XRef sites are examined, each
+    with at most ``_MAX_OPENERS`` candidate dict openers parsed within a
+    ``_DICT_WINDOW``-byte window — without the caps, a crafted payload
+    of repeated ``<<`` + ``/Type /XRef`` tokens makes the backward walk
+    O(n^2) and stalls the task.  Real trailer/xref dicts sit far inside
+    every bound.
     """
-    for tm in re.finditer(rb"trailer\b", data):
+    _MAX_SITES = 64
+    _MAX_OPENERS = 16
+    _DICT_WINDOW = 1 << 16
+
+    def bounded_dict(start: int) -> bytes | None:
+        return _balanced_dict(data[start : start + _DICT_WINDOW], 0)
+
+    for site, tm in enumerate(re.finditer(rb"trailer\b", data)):
+        if site >= _MAX_SITES:
+            break
         # the trailer keyword is followed by the trailer DICT; a prose
         # mention of "trailer" in page content has no << >> dict after it
         j = tm.end()
         while j < len(data) and data[j : j + 1] in b" \t\r\n":
             j += 1
-        d = _balanced_dict(data, j)
+        d = bounded_dict(j)
         if d is not None and _ENCRYPT_RE.search(d) is not None:
             return True
     # xref-stream layout: no "trailer" keyword; the trailer keys live in
@@ -94,13 +111,15 @@ def _is_encrypted(data: bytes) -> bool:
     # nearest "<<" may close a NESTED dict (/DecodeParms << ... >>
     # regularly precedes /Type in real xref streams, and key order is
     # unspecified), whose span would miss /Encrypt in the outer dict.
-    for m in _XREF_TYPE_RE.finditer(data):
+    for site, m in enumerate(_XREF_TYPE_RE.finditer(data)):
+        if site >= _MAX_SITES:
+            break
         search_end = m.start()
-        while True:
-            start = data.rfind(b"<<", 0, search_end)
+        for _ in range(_MAX_OPENERS):
+            start = data.rfind(b"<<", max(0, m.start() - _DICT_WINDOW), search_end)
             if start == -1:
                 break
-            d = _balanced_dict(data, start)
+            d = bounded_dict(start)
             if d is not None and start + len(d) > m.start():
                 # this dict's span covers the /Type /XRef key: it IS the
                 # xref stream dict (or an ancestor — either way /Encrypt

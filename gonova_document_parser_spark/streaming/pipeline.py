@@ -75,9 +75,13 @@ def stream_curate(
     from ..functions.textstats import gopher_flags, lang_id_expr, quality_score_expr
 
     pages = spark.readStream.schema(PAGES_DDL).parquet(input_dir)
+    # coalesce to False: NULL hosts/html must ADMIT, not silently drop
+    # (same null-semantics rule as the batch job)
     admitted = pages.where(
-        ~domain_blocked_expr(list(blocked_domains or []))
-        & ~robots_noindex_expr(F.col("html").cast("string"))
+        ~F.coalesce(domain_blocked_expr(list(blocked_domains or [])), F.lit(False))
+        & ~F.coalesce(
+            robots_noindex_expr(F.col("html").cast("string")), F.lit(False)
+        )
     )
     extracted = extract_pages(admitted).where(F.col("success"))
     gf = gopher_flags("extracted_text")

@@ -68,11 +68,18 @@ def curate(
     # pay the (dominant) extraction cost.  Both are pure filters.
     # binary->string CAST, not decode(): ANSI decode raises on malformed
     # bytes (real crawls have them); the cast substitutes U+FFFD, which is
-    # exactly right for a regex probe
+    # exactly right for a regex probe.  Flags coalesce to False: an
+    # unparseable url host or NULL html makes the predicate NULL, and a
+    # bare where() would silently drop the row while the metrics counted
+    # it in neither bucket — ungateable pages ADMIT (extraction decides).
     gov = pages.select(
         "*",
-        domain_blocked_expr(blocked_domains).alias("_blocked"),
-        robots_noindex_expr(F.col("html").cast("string")).alias("_noindex"),
+        F.coalesce(domain_blocked_expr(blocked_domains), F.lit(False)).alias(
+            "_blocked"
+        ),
+        F.coalesce(
+            robots_noindex_expr(F.col("html").cast("string")), F.lit(False)
+        ).alias("_noindex"),
     )
     admitted = gov.where(~F.col("_blocked") & ~F.col("_noindex")).drop(
         "_blocked", "_noindex"
@@ -113,7 +120,13 @@ def curate(
         key_col="source",
         order_col="quality",
     )
-    split = hash_split(capped, {"train": 0.98, "val": 0.01, "test": 0.01})
+    # one materialization point: pack_sequences' driver-side prefix-offset
+    # collect executes the pipeline; without the checkpoint the final
+    # write would re-run the whole DAG (extraction included) a second
+    # time — shuffle files don't get reused across separate jobs
+    split = hash_split(
+        capped, {"train": 0.98, "val": 0.01, "test": 0.01}
+    ).localCheckpoint(eager=False)
     packed = pack_sequences(
         split.where(F.col("split") == "train"), budget
     ).select("doc_id", "chunk_id")

@@ -84,6 +84,9 @@ def _chunk(body: bytes, sizes: tuple[int, ...]) -> bytes:
     pos = 0
     for k, sz in enumerate(sizes):
         piece = body[pos : pos + sz]
+        if not piece:
+            break  # sizes overran the body: a 0-size line here would be a
+            # premature terminator chunk and silently truncate the page
         ext = b";ext=1" if k == 1 else b""
         out += hex(len(piece))[2:].encode() + ext + CRLF + piece + CRLF
         pos += sz

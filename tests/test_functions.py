@@ -899,13 +899,20 @@ def test_governance_noindex_detection(spark):
         (5, '<meta name="googlebot" content="noindex">'),       # wrong name attr
         (6, "<p>the robots noindex directive is a meta tag</p>"),  # prose mention
         (7, '<meta name="description" content="robots"><meta name="robots" content="all">'),
+        (8, '<meta name="robots-extra" content="noindex-when-stale">'),  # wrong name token
+        (9, '<meta name="robots" content="nonoindexable">'),              # substring, not token
+        (10, '<meta name=robots><meta content="noindex" name=x>'),        # must not span tags
+        (11, '<meta name="robots" content="noindex">'),                   # bare value
     ]
     df = spark.createDataFrame(rows, "id long, html_text string")
     got = {
         r["id"]: r["f"]
         for r in df.select("id", robots_noindex_expr().alias("f")).collect()
     }
-    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: False}
+    assert got == {
+        1: True, 2: True, 3: True, 4: False, 5: False, 6: False, 7: False,
+        8: False, 9: False, 10: False, 11: True,
+    }
 
 
 def test_governance_domain_blocklist_label_boundary(spark):
