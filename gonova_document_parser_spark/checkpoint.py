@@ -425,6 +425,19 @@ def run_with_checkpoint(
     corpus = (
         pages if "partition_id" in pages.columns else partitioned(pages, n_partitions)
     )
+    if "partition_id" in pages.columns:
+        # belt-and-braces: a source staged with MORE partitions than this
+        # run's n_partitions would leave rows with partition_id >=
+        # n_partitions outside every wave filter — silent data loss.  One
+        # narrow-column scan is the price of refusing that.
+        max_pid = corpus.agg(F.max("partition_id")).collect()[0][0]
+        if max_pid is not None and max_pid >= n_partitions:
+            raise ValueError(
+                f"source carries partition_id up to {max_pid} but "
+                f"n_partitions={n_partitions}: rows above the range would "
+                "be silently skipped — restage the source or raise "
+                "n_partitions"
+            )
     done = completed_partitions(spark, checkpoint_path, run_id, input_snapshot)
     done_ids = {r["partition_id"] for r in done.collect()}  # <= n_partitions ints
     todo_ids = sorted(set(range(n_partitions)) - done_ids)

@@ -72,8 +72,20 @@ def main(argv: list[str]) -> None:
 
         reuse = False
         if spark.catalog.tableExists(bucketed):
-            a, b = _url_digest(spark.table(bucketed)), _url_digest(pages)
-            reuse = (a["n"], a["h"], a["c"]) == (b["n"], b["h"], b["c"])
+            from pyspark.sql import functions as F
+
+            t = spark.table(bucketed)
+            a, b = _url_digest(t), _url_digest(pages)
+            # partition-range check: a table staged with MORE partitions
+            # than this run's n_partitions would make run_with_checkpoint
+            # (which trusts the stored partition_id) silently skip every
+            # row with partition_id >= n_partitions
+            max_pid = t.agg(F.max("partition_id")).collect()[0][0]
+            reuse = (
+                (a["n"], a["h"], a["c"]) == (b["n"], b["h"], b["c"])
+                and max_pid is not None
+                and max_pid < n_partitions
+            )
         if reuse:
             spark.conf.set(
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
