@@ -341,27 +341,34 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
-    shingle -> minhash -> band -> bucket-join; returns distinct
-    (id_a, id_b) with id_a < id_b.  The self-join keys on (band_id,
-    band_hash) so only same-bucket docs meet — this is the 100 TB-scale
-    near-dup path (verify candidates with ``ngram_jaccard_pairs`` or
-    signature agreement afterwards).  ``hash_fn`` as in
-    ``minhash_signatures``; with md5 the band hash is md5 of the
-    comma-joined signature decimals (also DuckDB-reproducible)."""
+    shingle -> minhash -> band -> bucket posting-list; returns distinct
+    (id_a, id_b) with id_a < id_b.  Docs meet only inside an LSH bucket
+    (band_id, band_hash) — this is the 100 TB-scale near-dup path (verify
+    candidates with ``ngram_jaccard_pairs`` or signature agreement
+    afterwards).  ``hash_fn`` as in ``minhash_signatures``; with md5 the
+    band hash is md5 of the comma-joined signature decimals (also
+    DuckDB-reproducible)."""
     banded = minhash_bands(df, id_col, text_col, n, num_hashes, bands, hash_fn)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Posting-list form (like ``simhash_neardup_pairs``): group each LSH
+    # bucket ONCE and expand pairs JVM-side inside the sorted id array.  The
+    # previous a-join-b self-join on (band_id, band_hash) recomputed the
+    # entire shingle->minhash->band lineage for each side and shuffled the
+    # banded table twice (verified ReusedExchange: 0 in the executed plan) —
+    # a 2x multiplier on the dominant dedup stage at 100 TB.  Here the
+    # signature aggregation runs once, one shuffle, and a bucket of d docs
+    # expands its d*(d-1)/2 pairs inside the row.
+    posting = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        posting.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

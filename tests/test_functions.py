@@ -64,6 +64,21 @@ def test_minhash_lsh_candidates_superset_of_high_jaccard(docs):
     assert exact <= cands  # identical-signature pairs always collide
 
 
+def test_minhash_lsh_candidates_is_join_free_posting_list(docs):
+    """VERDICT r4 #2: the old a-join-b self-join on (band_id, band_hash)
+    recomputed the entire shingle->minhash->band lineage twice
+    (ReusedExchange: 0).  The posting-list form has NO join at all — one
+    signature aggregation, pairs expanded JVM-side inside the bucket
+    array — so the executed plan must contain zero join operators."""
+    plan = (
+        minhash_lsh_candidates(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+
+
 def test_minhash_affine_variant_valid_and_deterministic(docs):
     """Affine variant (one md5 -> 32 affine transforms mod 2^31-1): a real
     minhash family — identical docs share every signature, candidates cover
