@@ -41,13 +41,22 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return headers
 
 
+# Plausibility cap on a single declared chunk size.  Real origin servers
+# emit chunks of at most a few MB; a pre-decoded archived body whose first
+# line happens to parse as hex (e.g. text starting "deadbeef\r\n" =
+# 0xdeadbeef ~ 3.7 GB) would otherwise be silently re-sliced into garbage
+# by the truncation-tolerant prefix path.
+_MAX_CHUNK = 1 << 24  # 16 MiB
+
+
 def _decode_chunked(body: bytes) -> bytes | None:
     """HTTP/1.1 chunked transfer-encoding decode, truncation-tolerant.
 
     Returns the de-chunked bytes; a body truncated mid-chunk yields the
     decoded prefix (bounded data loss, never an exception); a body whose
-    first size line isn't hex returns None so the caller can keep the
-    raw bytes (some archived responses carry the header but a
+    first size line isn't hex — or declares an implausibly large
+    (> ``_MAX_CHUNK``) or negative size — returns None so the caller can
+    keep the raw bytes (some archived responses carry the header but a
     pre-decoded body).  Trailer headers after the 0-chunk are ignored.
     """
     out = bytearray()
@@ -61,10 +70,11 @@ def _decode_chunked(body: bytes) -> bytes | None:
             size = int(size_token, 16)
         except ValueError:
             return None if pos == 0 else bytes(out)
-        if size < 0:
+        if size < 0 or size > _MAX_CHUNK:
             # int(b'-6', 16) parses: a negative "size" would walk pos
-            # BACKWARDS and loop forever appending the body tail — treat
-            # hostile/corrupt framing like the non-hex case
+            # BACKWARDS and loop forever appending the body tail; an
+            # implausibly large size is the pre-decoded-body false
+            # positive — treat both like the non-hex case
             return None if pos == 0 else bytes(out)
         pos = eol + 2
         if size == 0:
@@ -101,13 +111,46 @@ def _gunzip_best_effort(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _inflate_best_effort(data: bytes) -> bytes | None:
+    """``Content-Encoding: deflate`` decode, both wire variants.
+
+    RFC 9110 says deflate == zlib-wrapped, but many origin servers send a
+    RAW deflate stream under the same token; real crawls carry both.  Try
+    the zlib wrapper first (its 2-byte header check rejects raw streams
+    fast), then raw.  Truncated input yields the decoded prefix
+    (``decompressobj`` only raises on corrupt data, not on missing tail);
+    undecodable input returns None so the caller keeps the raw bytes.
+    """
+    import zlib
+
+    for wbits in (15, -15):  # zlib-wrapped, then raw deflate
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(data)
+        except zlib.error:
+            continue
+        if out:
+            return out
+    return None
+
+
+# Bounded stand-in body for content codings this container cannot decode
+# (brotli has no stdlib codec).  Short of 50 chars on purpose: the page
+# routes through the classifier's no-extractable-text path into a
+# deterministic error row, and the marker stays greppable in the html
+# column so downstream can count/route these urls.
+_UNSUPPORTED_CODING_BODY = b"[unsupported content-encoding: %s]"
+
+
 def iter_warc_records(data: bytes) -> Iterator[dict]:
     """Yield {'url', 'warc_ts', 'body'} for each response record.
 
     The HTTP envelope is genuinely parsed: ``Transfer-Encoding: chunked``
-    bodies are de-chunked and ``Content-Encoding: gzip`` payloads are
-    decompressed (in that order — transfer coding wraps content coding),
-    both truncation-tolerant, matching what a real crawl serves.
+    bodies are de-chunked, then ``Content-Encoding`` is honored (transfer
+    coding wraps content coding): gzip and deflate (zlib-wrapped or raw)
+    decompress truncation-tolerantly; brotli (``br``) has no stdlib codec,
+    so those bodies become a bounded tagged marker instead of compressed
+    bytes masquerading as html.
     """
     if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member) archive
         data = _gunzip_best_effort(data)
@@ -153,6 +196,12 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
                 enc = http_headers.get(b"content-encoding", b"").strip().lower()
                 if enc in (b"gzip", b"x-gzip") and body[:2] == b"\x1f\x8b":
                     body = _gunzip_best_effort(body)
+                elif enc == b"deflate":
+                    inflated = _inflate_best_effort(body)
+                    if inflated is not None:
+                        body = inflated
+                elif enc in (b"br", b"brotli", b"zstd") and body:
+                    body = _UNSUPPORTED_CODING_BODY % enc
         yield {"url": url, "warc_ts": ts, "body": body}
 
 

@@ -28,6 +28,14 @@ transfer encodings (the highest-frequency real-CC constructs):
   - ``Content-Encoding: gzip`` body (member mtime pinned to 0)
   - chunked-wrapping-gzip (de-chunk must happen BEFORE gunzip)
   - a gzip BODY truncated mid-member (best-effort prefix, bounded row)
+  - ``Content-Encoding: deflate`` in BOTH wire variants: zlib-wrapped
+    (the RFC meaning) and raw deflate (what many origin servers send
+    under the same token)
+  - ``Content-Encoding: br``: brotli has no stdlib codec in this
+    container, so the PAYLOAD here is a deterministic stand-in byte
+    string (not a real brotli stream — honestly labeled); the reader
+    must emit the bounded unsupported-coding marker, never pass the
+    compressed bytes through as html
   - a final archive MEMBER truncated mid-stream (interrupted fetch: all
     prior records survive, the tail is lost/partial, never an exception)
 
@@ -123,6 +131,12 @@ def _request(url: bytes, ts: bytes) -> bytes:
         + CRLF
     )
     return _record(b"request", url, ts, http)
+
+
+def _raw_deflate(body: bytes) -> bytes:
+    """Raw deflate stream (no zlib wrapper) — the de-facto wire variant."""
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    return c.compress(body) + c.flush()
 
 
 def _rotated_pdf() -> bytes:
@@ -241,6 +255,24 @@ to clear every threshold the classifier applies to html pages.</p>
 </div></body></html>"""
     )
 
+    deflate_raw_page = (
+        b"""<html><head><title>Raw deflate</title></head>
+<body><div><p>Many origin servers send Content-Encoding deflate as a RAW
+deflate stream with no zlib wrapper, despite what the RFC says; a reader
+that only tries the wrapped variant turns these pages into garbage rows.
+This paragraph keeps the page well past the native-text threshold.</p>
+</div></body></html>"""
+    )
+
+    deflate_zlib_page = (
+        b"""<html><head><title>Zlib deflate</title></head>
+<body><div><p>The RFC-correct deflate variant wraps the stream in a zlib
+header and checksum; both wire forms occur in real crawls and both must
+inflate to the exact original page bytes before extraction runs.
+Padding prose carries this paragraph past every length threshold.</p>
+</div></body></html>"""
+    )
+
     cut_gz_page = (
         b"""<html><head><title>Cut</title></head>
 <body><div><p>This gzip member is truncated mid-stream by the fixture;
@@ -298,6 +330,25 @@ failure. Padding padding padding padding padding padding padding.</p>
             b"https://cut.example.net/gzcut", ts,
             _gz_bytes(cut_gz_page)[: int(len(_gz_bytes(cut_gz_page)) * 0.6)],
             [b"Content-Encoding: gzip"],
+        ),
+        # deflate content coding, both wire variants (VERDICT r4 #3)
+        _enc_response(
+            b"https://rawdeflate.example.com/page", ts,
+            _raw_deflate(deflate_raw_page),
+            [b"Content-Encoding: deflate"],
+        ),
+        _enc_response(
+            b"https://zlibdeflate.example.org/page", ts,
+            zlib.compress(deflate_zlib_page, 9),
+            [b"Content-Encoding: deflate"],
+        ),
+        # brotli: payload is a DETERMINISTIC STAND-IN (no brotli codec in
+        # this container) — the reader must replace it with the bounded
+        # unsupported-coding marker, so these bytes never reach extraction
+        _enc_response(
+            b"https://modern.example.app/br", ts,
+            bytes(range(0x1B, 0x7B)) * 3,
+            [b"Content-Encoding: br"],
         ),
     ]
     return records

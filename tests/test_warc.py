@@ -65,15 +65,15 @@ def test_cc_fixture_bytes_pinned():
     """The committed fixture is byte-pinned; regenerate with
     tests/fixtures/make_cc_sample.py (deterministic, gzip mtime=0)."""
     h = hashlib.sha256(FIXTURE.read_bytes()).hexdigest()
-    assert h == "519a5d77f0f8011029e9833ba65406ad67b7956d5747c327a3717655eb51f729"
+    assert h == "89f29df7cbeb4035ed9c34fafdcda7d9e566d2a18cd2c5a4eada8b57ea7cbf46"
 
 
 def test_cc_fixture_layout_parses():
-    """Member-per-record gzip (real CC layout): 13 responses come back;
+    """Member-per-record gzip (real CC layout): 16 responses come back;
     warcinfo and request records are skipped; the truncated final member
     yields at most a partial record, never an exception."""
     recs = list(iter_warc_records(FIXTURE.read_bytes()))
-    assert len(recs) == 13
+    assert len(recs) == 16
     assert all(r["warc_ts"] is not None for r in recs)
     assert "https://docs.example.com/rotated.pdf" in [r["url"] for r in recs]
 
@@ -103,6 +103,21 @@ def test_cc_fixture_transfer_encodings_decode_byte_identical():
     # chunk framing never leaks into any body
     for b in (chunked, gz, both):
         assert b"X-Trailer" not in b and b"\r\n0\r\n" not in b
+    # deflate content coding, both wire variants (VERDICT r4 #3): exact
+    # original page bytes back
+    raw = recs["https://rawdeflate.example.com/page"]
+    wrapped = recs["https://zlibdeflate.example.org/page"]
+    assert raw.startswith(b"<html><head><title>Raw deflate") and raw.endswith(
+        b"</div></body></html>"
+    )
+    assert wrapped.startswith(
+        b"<html><head><title>Zlib deflate"
+    ) and wrapped.endswith(b"</div></body></html>")
+    # brotli: no stdlib codec — the bounded tagged marker, NEVER the
+    # compressed payload passed through as html
+    assert recs["https://modern.example.app/br"] == (
+        b"[unsupported content-encoding: br]"
+    )
 
 
 def test_cc_fixture_extraction_deterministic_and_bounded(spark):
@@ -123,7 +138,14 @@ def test_cc_fixture_extraction_deterministic_and_bounded(spark):
     rows2, h2 = run()
     assert h1 == h2  # deterministic across runs
     by_url = {u: (t, s) for u, t, s in rows1}
-    assert len(by_url) == 13
+    assert len(by_url) == 16
+    # deflate pages (both wire variants) extract into clean prose
+    assert "no zlib wrapper" in by_url["https://rawdeflate.example.com/page"][0]
+    assert by_url["https://rawdeflate.example.com/page"][1] is True
+    assert "zlib header and checksum" in by_url[
+        "https://zlibdeflate.example.org/page"
+    ][0]
+    assert by_url["https://zlibdeflate.example.org/page"][1] is True
     # charset paths: ISO-8859-1 meta, windows-1252 meta, UTF-8 BOM
     assert "pâtissier têtu" in by_url["https://cafe.example.fr/"][0]
     assert "“Smart quotes”" in by_url["https://news.example.com/quotes"][0]
@@ -157,6 +179,7 @@ def test_cc_fixture_extraction_deterministic_and_bounded(spark):
     assert errs == [
         "https://broken.example.net/truncated",
         "https://empty.example.net/nobody",
+        "https://modern.example.app/br",  # unsupported coding -> bounded row
         "https://tail.example.org/lost",  # archive's truncated final member
     ]
 
@@ -184,6 +207,34 @@ def test_gunzip_best_effort_multi_member_and_truncation():
     assert out.startswith(b"alpha ")
     # pure garbage after the magic bytes: no exception
     assert isinstance(_gunzip_best_effort(b"\x1f\x8b\x00junk"), bytes)
+
+
+def test_inflate_best_effort_both_variants_and_truncation():
+    import zlib
+
+    from gonova_document_parser_spark.sources.warc import _inflate_best_effort
+
+    body = b"<html><body><p>deflate page body under test</p></body></html>"
+    assert _inflate_best_effort(zlib.compress(body)) == body  # zlib-wrapped
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw = c.compress(body) + c.flush()
+    assert _inflate_best_effort(raw) == body  # raw deflate
+    # truncated zlib-wrapped stream: decoded prefix, no exception
+    cut = _inflate_best_effort(zlib.compress(body)[:-8])
+    assert cut is not None and body.startswith(cut) and len(cut) > 0
+    # undecodable junk: None (caller keeps the raw bytes)
+    assert _inflate_best_effort(b"\x00\x01\x02 not deflate at all") is None
+
+
+def test_chunked_decoder_rejects_implausible_sizes():
+    """ADVICE r4: a pre-decoded archived body whose first line parses as
+    hex (0xdeadbeef ~ 3.7 GB) must NOT be re-sliced into garbage — an
+    implausibly large declared chunk size keeps the raw body."""
+    from gonova_document_parser_spark.sources.warc import _decode_chunked
+
+    assert _decode_chunked(b"deadbeef\r\nthe actual page text ...") is None
+    # implausible size after a valid chunk: keep the decoded prefix
+    assert _decode_chunked(b"3\r\nabc\r\ndeadbeef\r\njunk") == b"abc"
 
 
 def test_chunked_decoder_rejects_negative_sizes():
