@@ -11,6 +11,15 @@ needs — see COVERAGE.md "training-data pipeline" tier):
     3. quality:     Gopher rules + heuristic language ID
     4. line dedup:  corpus-wide boilerplate-line removal (CCNet-style)
     5. exact dedup: md5-fingerprint keeper per duplicate group
+    5a. decontamination (opt-in, ``eval_docs``): drop docs sharing any
+        13-gram with the evaluation set (broadcast semi-join — the eval
+        set is KBs against the corpus's TBs)
+    5b. span surgery (opt-in, ``span_surgery=True``): corpus-wide
+        exact-substring removal — repeats of a >=``window``-token span
+        lose the span, first occurrence survives.  Replaces ``text``
+        with the normalized-token reassembly, so downstream token
+        budgets price the post-surgery stream.  Costs one extra
+        16-byte-key shuffle pair over the corpus; off by default.
     6. domain cap:  skew-split anti-domination quota per host
     7. split:       deterministic hash train/val/test assignment
     8. packing:     token-budget sequence ids for the train split
@@ -23,7 +32,8 @@ two-run fingerprint test).
 
 Usage:
   spark-submit --py-files gonova.zip jobs/curate_job.py \
-      <pages_parquet> <output_path> [budget] [max_docs_per_host]
+      <pages_parquet> <output_path> [budget] [max_docs_per_host] \
+      [--eval-set <eval_parquet>] [--span-surgery]
 """
 
 from __future__ import annotations
@@ -42,8 +52,16 @@ def curate(
     budget: int = 2048,
     max_per_host: int = 100_000,
     hot_line_max_docs: int = 20,
+    eval_docs: DataFrame | None = None,
+    contamination_ngram: int = 13,
+    span_surgery: bool = False,
+    span_window: int = 10,
 ) -> dict:
-    from gonova_document_parser_spark.functions.dedup import exact_dup_groups
+    from gonova_document_parser_spark.functions.dedup import (
+        exact_dup_groups,
+        ngram_contamination,
+        remove_duplicated_spans,
+    )
     from gonova_document_parser_spark.functions.governance import (
         domain_blocked_expr,
         robots_noindex_expr,
@@ -113,6 +131,40 @@ def curate(
         groups.select(F.col("keeper").alias("doc_id")), "doc_id", "left_semi"
     )
 
+    # 5a. benchmark decontamination: drop any doc sharing a 13-gram with
+    # the eval set.  Runs AFTER exact dedup (fewer docs to shingle) and
+    # BEFORE the mix construction so a contaminated doc can't occupy a
+    # domain-cap slot.  The eval shingle set broadcasts; the corpus side
+    # stays a narrow explode + broadcast semi-join (see ngram_contamination).
+    contam = None
+    if eval_docs is not None:
+        # localCheckpoint: the verdicts frame (3 narrow cols, one row per
+        # unique doc) feeds BOTH the anti-join in the main lineage and the
+        # dropped_contaminated metric — without it the shingle broadcast
+        # join would execute twice
+        contam = ngram_contamination(
+            unique, eval_docs, n=contamination_ngram
+        ).localCheckpoint(eager=False)
+        unique = unique.join(
+            contam.where(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+
+    # 5b. exact-substring corpus surgery: repeats of a >= span_window-token
+    # span lose the span (first occurrence corpus-wide survives verbatim).
+    # text becomes the normalized-token reassembly — the representation
+    # every dedup operator here tokenizes to — so packing budgets price
+    # the post-surgery stream.  quality/lang keep their gating-stage
+    # values (scored pre-surgery) by design: they justified admission.
+    if span_surgery:
+        surg = remove_duplicated_spans(
+            unique, window=span_window
+        ).select("doc_id", "clean_text")
+        unique = unique.drop("text").join(surg, "doc_id").withColumnRenamed(
+            "clean_text", "text"
+        )
+
     # 6-8. mix construction
     capped = domain_cap(
         unique.withColumn("source", host_of("url")),
@@ -132,8 +184,18 @@ def curate(
     ).select("doc_id", "chunk_id")
     final = split.join(packed, "doc_id", "left")
 
+    # write-task fan-out: hashing on split ALONE funnels ~98% of the corpus
+    # (the train split) through one task — a straggler/memory wall at scale.
+    # Adding a doc_id bucket keeps "each task writes exactly one split
+    # directory" (partitionBy still routes by value) while spreading the
+    # train split across n_write parallel writers.
+    n_write = max(spark.sparkContext.defaultParallelism, 2)
     (
-        final.repartition(F.col("split"))
+        final.repartition(
+            n_write,
+            F.col("split"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_write)),
+        )
         .write.partitionBy("split")
         .mode("overwrite")
         .parquet(output_path)
@@ -147,6 +209,14 @@ def curate(
         F.sum(F.col("_blocked").cast("long")).alias("blocked"),
         F.sum((~F.col("_blocked") & F.col("_noindex")).cast("long")).alias("noindex"),
     ).collect()[0]
+    dropped_contaminated = 0
+    if contam is not None:
+        dropped_contaminated = int(
+            contam.agg(
+                F.sum(F.col("contaminated").cast("long")).alias("c")
+            ).collect()[0]["c"]
+            or 0
+        )
     out = spark.read.parquet(output_path)
     o = out.agg(
         F.count(F.lit(1)).alias("kept"),
@@ -157,6 +227,7 @@ def curate(
         "input_pages": g["input"],
         "dropped_blocked": int(g["blocked"] or 0),
         "dropped_noindex": int(g["noindex"] or 0),
+        "dropped_contaminated": dropped_contaminated,
         "curated_docs": o["kept"],
         "train_docs": int(o["train_docs"] or 0),
         "train_chunks": int(o["train_chunks"] or 0),
@@ -167,14 +238,31 @@ def curate(
 def main(argv: list[str]) -> None:
     from gonova_document_parser_spark.session import get_spark
 
+    span_surgery = "--span-surgery" in argv
+    eval_path = None
+    if "--eval-set" in argv:
+        i = argv.index("--eval-set")
+        eval_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    argv = [a for a in argv if a != "--span-surgery"]
     source, output = argv[0], argv[1]
     budget = int(argv[2]) if len(argv) > 2 else 2048
     max_per_host = int(argv[3]) if len(argv) > 3 else 100_000
     spark = get_spark(app_name="gonova-curate")
     spark.sparkContext.setLogLevel("WARN")
     pages = spark.read.parquet(source)
+    eval_docs = None
+    if eval_path is not None:
+        # any parquet with a text column works; benchmarks are tiny
+        eval_docs = spark.read.parquet(eval_path).select("text")
     summary = curate(
-        spark, pages, output, budget=budget, max_per_host=max_per_host
+        spark,
+        pages,
+        output,
+        budget=budget,
+        max_per_host=max_per_host,
+        eval_docs=eval_docs,
+        span_surgery=span_surgery,
     )
     print(json.dumps(summary))
     spark.stop()
