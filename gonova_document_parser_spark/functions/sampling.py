@@ -88,7 +88,7 @@ def domain_cap(
     key_col: str = "source",
     order_col: str | None = None,
     id_col: str = "doc_id",
-    n_salts: int = 16,
+    n_salts: int | str = "auto",
     hot_threshold: int | None = None,
 ) -> DataFrame:
     """Cap rows per domain/source — the anti-domination quota.
@@ -118,13 +118,25 @@ def domain_cap(
          keys exist);
       2. one window pass partitioned by ``(key, salt)`` where cold keys
          take the constant salt 0 (their phase-1 IS the exact final
-         top-k) and hot keys take salt = pmod(xxhash64(id), n_salts) —
-         the hot key's reduce-side input spreads across ``n_salts``
-         tasks at ``n_map_tasks × k / n_salts`` each;
+         top-k) and hot keys take salt = pmod(xxhash64(id), S) — a hot
+         key's phase-1 cell receives ``min(n_map_tasks × k, H / S)``
+         rows (H = the key's row count from the step-1 scan);
       3. a final window per ``key`` over the survivors re-ranks: a no-op
          re-derivation for cold keys, and for hot keys a sort over at
-         most ``n_salts × max_per_key`` rows — bounded by CONSTRUCTION,
+         most ``S × max_per_key`` rows — bounded by CONSTRUCTION,
          independent of cluster size.
+
+    Salt-count sizing (``n_salts="auto"``, the default): a FIXED S can't
+    hold the bound at every scale — phase-1 cells shrink as H/S while
+    phase-2 grows as S×k, so the minimax choice per hot key is
+    ``S = ceil(sqrt(H / k))``, making BOTH phases ≤ sqrt(H × k) rows.
+    A 10^10-row key capped at k=10^5 then sorts ≤ ~3×10^7 rows per task
+    instead of 10^10 — and the sizing input H is already computed by the
+    step-1 key-count scan, so callers never tune anything (the map-task
+    count only ever LOWERS the phase-1 bound via the WindowGroupLimit
+    partial top-k, so sizing ignores it conservatively).  Pass an int to
+    pin the round-4 fixed-salt behavior; the keeper set is proven
+    identical across auto and every fixed S in tests.
 
     Local cost honesty: on the page-cached 200k-row bench corpus this is
     ~2x the one-window wall (the extra key-count scan + the survivors
@@ -149,18 +161,28 @@ def domain_cap(
     )
     if hot_threshold is None:
         hot_threshold = 50 * max_per_key
+    if n_salts == "auto":
+        # per-key minimax sizing from the count the scan already produced:
+        # S = ceil(sqrt(H / k)), never below 2 for a hot key
+        ns_expr = F.greatest(
+            F.ceil(F.sqrt(F.col("_kn") / F.lit(max_per_key))).cast("int"),
+            F.lit(2),
+        )
+    else:
+        ns_expr = F.lit(int(n_salts))
     hot_keys = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_kn"))
         .where(F.col("_kn") > hot_threshold)
-        .select(key_col, F.lit(True).alias("_hot"))
+        .select(key_col, ns_expr.alias("_ns"))
     )
-    # single scan: the hot flag rides a broadcast join; cold keys get the
-    # constant salt 0, so phase 1 IS their exact final top-N and phase 2
-    # merely re-derives the same rank — no branch, no second corpus scan
+    # single scan: the hot flag (and its salt count) rides a broadcast
+    # join; cold keys get the constant salt 0, so phase 1 IS their exact
+    # final top-N and phase 2 merely re-derives the same rank — no
+    # branch, no second corpus scan
     salt = F.when(
-        F.col("_hot").isNotNull(),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).cast("int"),
+        F.col("_ns").isNotNull(),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"),
     ).otherwise(F.lit(0))
     partial = Window.partitionBy(F.col(key_col), F.col("_salt")).orderBy(*order)
     final = Window.partitionBy(F.col(key_col)).orderBy(*order)
@@ -182,6 +204,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_partitions: int | None = None,
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """Token-budget training-sequence packing (GPT-style concatenation).
 
@@ -205,6 +228,15 @@ def pack_sequences(
     range partitioning so the per-partition sums and the final pass see
     the identical ``spark_partition_id`` assignment (range sampling is
     not otherwise guaranteed stable across jobs).
+
+    ``count_expr`` overrides the default whitespace token counter with
+    any Column over the row — training budgets are really denominated in
+    SUBWORD tokens, so the real pipeline passes
+    ``bpe_token_count_udf(merges)(text_col)`` here (an Arrow-batched
+    pandas UDF; it prices the count column build only — the prefix-sum
+    machinery is unchanged and stays JVM-side).  Driver queries keep the
+    default pre-tokenizer so the DuckDB oracle can replay the counts and
+    the no-BatchEvalPython plan guard stays green.
     """
     from pyspark.sql import Window
 
@@ -212,8 +244,9 @@ def pack_sequences(
 
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
+    counter = count_expr if count_expr is not None else token_count_expr(text_col)
     ranged = (
-        df.select(F.col(id_col), token_count_expr(text_col).alias("n_tokens"))
+        df.select(F.col(id_col), counter.alias("n_tokens"))
         .repartitionByRange(n, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)

@@ -1001,6 +1001,50 @@ def test_pack_sequences_append_stable(spark):
     assert all(b[i] == a[i] for i in a)
 
 
+def test_pack_sequences_with_bpe_counts_matches_python(spark):
+    """count_expr seam: packing budgets denominated in merge-table BPE
+    tokens (the real pipeline's unit) must equal a pure-Python replica
+    that encodes each doc with the SAME spec encoder and cumulates
+    sequentially.  The UDF variant is non-driver (the plan guard keeps
+    BatchEvalPython out of driver queries); this pins the seam itself."""
+    import os
+
+    from gonova_document_parser_spark.functions.sampling import pack_sequences
+    from gonova_document_parser_spark.functions.textstats import (
+        bpe_token_count_udf,
+    )
+    from gonova_document_parser_spark.spec.bpe import encode, load_merges
+
+    merges = load_merges(
+        os.path.join(os.path.dirname(__file__), "fixtures", "bpe_merges.txt")
+    )
+    docs = [
+        (0, "the running river was nothing like the sea"),
+        (1, "she said that there is nothing running here"),
+        (2, "a b c"),
+        (3, "ing ing ing the the the"),
+        (4, "completely unrelated words sprawl everywhere tonight"),
+    ]
+    budget = 16
+    acc, expect = 0, {}
+    for i, t in docs:
+        n = len(encode(t, merges))
+        expect[i] = (n, acc, acc // budget)
+        acc += n
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["chunk_id"])
+        for r in pack_sequences(
+            df,
+            budget,
+            n_partitions=3,
+            count_expr=bpe_token_count_udf(merges)("text"),
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_remove_duplicated_spans_first_occurrence_survives(spark):
     """Pinned rule: the corpus-wide first occurrence (min (doc_id, pos))
     keeps its text verbatim; every other occurrence loses exactly the
@@ -1182,8 +1226,9 @@ def test_domain_cap_salted_matches_single_window(spark):
     expect = sorted(tuple(r) for r in naive.collect())
     # hot_threshold=10 forces hot.example (200 rows) down the salted
     # two-phase path; the default (250 here) keeps everything cold; 0
-    # salts every key — the keeper set must be identical on every route
-    for n_salts in (1, 4, 16):
+    # salts every key — the keeper set must be identical on every route,
+    # including the auto per-key sqrt(H/k) sizing
+    for n_salts in (1, 4, 16, "auto"):
         for hot_threshold in (None, 10, 0):
             got = sorted(
                 tuple(r)
