@@ -94,12 +94,25 @@ def _is_encrypted(data: bytes) -> bool:
     def bounded_dict(start: int) -> bytes | None:
         return _balanced_dict(data[start : start + _DICT_WINDOW], 0)
 
-    for site, tm in enumerate(re.finditer(rb"trailer\b", data)):
-        if site >= _MAX_SITES:
+    # scan trailer sites from the END of the file: the genuine trailer is
+    # the last one written (incremental updates append), so a hostile
+    # payload of > _MAX_SITES decoy "trailer" keywords AHEAD of the real
+    # encrypted trailer can no longer exhaust the cap and smuggle
+    # ciphertext through as "unencrypted" — the cap now bounds work, not
+    # reachability of the authoritative dict.
+    pos = len(data)
+    for _ in range(_MAX_SITES):
+        i = data.rfind(b"trailer", 0, pos)
+        if i == -1:
             break
+        pos = i
+        j = i + 7
+        # word boundary after the keyword (mirror of rb"trailer\b")
+        nxt = data[j : j + 1]
+        if nxt.isalnum() or nxt == b"_":
+            continue
         # the trailer keyword is followed by the trailer DICT; a prose
         # mention of "trailer" in page content has no << >> dict after it
-        j = tm.end()
         while j < len(data) and data[j : j + 1] in b" \t\r\n":
             j += 1
         d = bounded_dict(j)

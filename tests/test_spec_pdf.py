@@ -230,6 +230,22 @@ def test_encrypted_pdf_routes_to_scanned():
     assert pdf_text_len(data) > 0
 
 
+def test_trailer_decoys_cannot_hide_the_real_encrypted_trailer():
+    """Hostile cap-exhaustion probe: >64 decoy 'trailer' keywords AHEAD of
+    the genuine encrypted trailer.  Sites scan from the END of the file
+    (real trailers are written last), so the _MAX_SITES work bound can't
+    be spent on decoys before the authoritative dict is reached."""
+    content = b"BT 1 0 0 1 50 700 Tm (would be ciphertext) Tj ET"
+    data = _doc([content])
+    decoys = b"trailer \n" * 200  # no << >> dict after any of them
+    enc = data.replace(
+        b"%%EOF",
+        decoys + b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF",
+    )
+    assert pdf_text_len(enc) == 0
+    assert extract_pdf_pages(enc) == []
+
+
 def test_encrypt_mention_in_page_content_is_not_encryption():
     """A benign PDF whose page TEXT mentions '/Encrypt 5 0 R' (e.g. a doc
     about PDF internals) must NOT be misrouted to the OCR path: the
