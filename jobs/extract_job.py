@@ -56,18 +56,24 @@ def main(argv: list[str]) -> None:
     if bucketed is not None:
         # reuse an existing staged table (resume path: the local catalog
         # may have forgotten it — restage when absent or stale).  The
-        # staleness witness is the order-independent url-set digest, NOT
-        # a row count: a re-crawl that refetches the same url set with
-        # new bytes keeps the count but must restage.
+        # staleness witness is an order-independent multiset digest of the
+        # JOINT (url, content) hash, NOT a row count (a re-crawl that
+        # refetches the same url set with new bytes keeps the count) and
+        # NOT a pair of per-column XORs (xor over a multiset cancels
+        # pairs: two urls swapping each other's previous html, or dup
+        # rows added in pairs, would collide).  SUM of a bit-mixed 64-bit
+        # hash in decimal(38,0) never overflows and keys per-row pairing.
         def _url_digest(df):
             from pyspark.sql import functions as F
 
             return df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("url")), F.lit(0)).alias("h"),
                 F.coalesce(
-                    F.bit_xor(F.xxhash64(F.md5("html"))), F.lit(0)
-                ).alias("c"),
+                    F.sum(
+                        F.xxhash64("url", F.md5("html")).cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
             ).collect()[0]
 
         reuse = False
@@ -82,7 +88,7 @@ def main(argv: list[str]) -> None:
             # row with partition_id >= n_partitions
             max_pid = t.agg(F.max("partition_id")).collect()[0][0]
             reuse = (
-                (a["n"], a["h"], a["c"]) == (b["n"], b["h"], b["c"])
+                (a["n"], a["h"]) == (b["n"], b["h"])
                 and max_pid is not None
                 and max_pid < n_partitions
             )
