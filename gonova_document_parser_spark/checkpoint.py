@@ -331,18 +331,40 @@ def stage_bucketed_table(
     fresh session must restage (or run with a persistent metastore /
     Iceberg catalog in production — where this helper is one
     ``writeTo(table).partitionedBy(bucket(N, url))``).  Orphaned
-    locations from a previous session are cleaned up first.
+    locations from a previous session are cleaned up first.  The
+    persistent-catalog path is demonstrated end-to-end by
+    scripts/metastore_demo.py + tests/test_metastore_resume.py: a
+    Derby-backed Hive metastore carries the table across real JVM
+    boundaries — the resumed session restages nothing and pruning still
+    compiles (it pins autoBucketedScan.enabled=false in its OWN session
+    conf, since this function isn't called on that path).
     """
     # force bucketed scans: the planner's DisableUnnecessaryBucketedScan
     # turns bucketed reading (and with it bucket PRUNING) off when no
     # join/agg wants the distribution — but pruning is exactly why the
-    # table is bucketed here
+    # table is bucketed here.  The conf change is DELIBERATELY session-
+    # scoped, not restored: every later scan of the staged table (each
+    # checkpoint wave, a resumed session's re-drive) must keep pruning,
+    # so a scoped save/restore here would silently re-enable the
+    # optimization between waves and defeat the table's purpose.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # in-memory catalog + surviving warehouse dir -> LOCATION_ALREADY_EXISTS
+    # in-memory catalog + surviving warehouse dir -> LOCATION_ALREADY_EXISTS.
+    # The managed-table layout is warehouse/<tbl> for the default database
+    # and warehouse/<db>.db/<tbl> otherwise — a bare + f"/{table}" misses
+    # qualified names (db.tbl is NOT a directory called "db.tbl"), leaving
+    # the orphan in place and the DROP+save to fail.
+    parts = table.split(".")
+    if len(parts) == 1:
+        db, tbl = spark.catalog.currentDatabase(), parts[0]
+    elif len(parts) == 2:
+        db, tbl = parts
+    else:
+        raise ValueError(f"expected [db.]table, got {table!r}")
+    rel = tbl if db == "default" else f"{db}.db/{tbl}"
     jvm = spark._jvm
     loc = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + f"/{table}"
+        spark.conf.get("spark.sql.warehouse.dir") + f"/{rel}"
     )
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
