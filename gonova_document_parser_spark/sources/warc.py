@@ -14,6 +14,12 @@ Common-Crawl layout.)
 
 This source exists so a crawl archive can feed ``extract_pages`` without
 a separate conversion job; schema matches FIXTURES.md §1.
+
+WET — Common Crawl's pre-extracted-text distribution — shares the record
+framing (``iter_wet_records``/``read_wet``): ``conversion`` records whose
+payload is plain text, no HTTP envelope.  WET rows arrive with ``text``
+populated and ``html`` NULL, skipping extraction and feeding the curation
+stages directly.
 """
 
 from __future__ import annotations
@@ -142,16 +148,12 @@ def _inflate_best_effort(data: bytes) -> bytes | None:
 _UNSUPPORTED_CODING_BODY = b"[unsupported content-encoding: %s]"
 
 
-def iter_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield {'url', 'warc_ts', 'body'} for each response record.
-
-    The HTTP envelope is genuinely parsed: ``Transfer-Encoding: chunked``
-    bodies are de-chunked, then ``Content-Encoding`` is honored (transfer
-    coding wraps content coding): gzip and deflate (zlib-wrapped or raw)
-    decompress truncation-tolerantly; brotli (``br``) has no stdlib codec,
-    so those bodies become a bounded tagged marker instead of compressed
-    bytes masquerading as html.
-    """
+def _iter_raw_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, payload) for every record in a WARC/WET/WAT
+    stream — the shared framing walk: ``WARC/x.y`` header block, CRLF CRLF,
+    ``Content-Length`` payload bytes.  Gzip archives (single- or
+    multi-member, the Common-Crawl layout) decompress up front,
+    truncation-tolerantly."""
     if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member) archive
         data = _gunzip_best_effort(data)
     pos = 0
@@ -171,16 +173,35 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         body_start = head_end + 4
         payload = data[body_start : body_start + length]
         pos = body_start + length
+        yield headers, payload
+
+
+def _record_identity(headers: dict) -> tuple[str, datetime | None]:
+    url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+    try:
+        ts = datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+    except ValueError:
+        ts = None
+    return url, ts
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield {'url', 'warc_ts', 'body'} for each response record.
+
+    The HTTP envelope is genuinely parsed: ``Transfer-Encoding: chunked``
+    bodies are de-chunked, then ``Content-Encoding`` is honored (transfer
+    coding wraps content coding): gzip and deflate (zlib-wrapped or raw)
+    decompress truncation-tolerantly; brotli (``br``) has no stdlib codec,
+    so those bodies become a bounded tagged marker instead of compressed
+    bytes masquerading as html.
+    """
+    for headers, payload in _iter_raw_records(data):
         if headers.get(b"warc-type") != b"response":
             continue
-        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
-        ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        try:
-            ts = datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).replace(
-                tzinfo=None
-            )
-        except ValueError:
-            ts = None
+        url, ts = _record_identity(headers)
         # strip the HTTP response envelope if present, honoring its
         # transfer/content codings
         body = payload
@@ -238,6 +259,72 @@ def read_warc(spark: SparkSession, path: str, pattern: str = "*.warc*") -> DataF
                     rows.append(
                         (rec["url"], rec["warc_ts"], rec["body"], "", "und")
                     )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.select("content").mapInPandas(split_records, PAGES_DDL)
+
+
+def iter_wet_records(data: bytes) -> Iterator[dict]:
+    """Yield {'url', 'warc_ts', 'text'} for each ``conversion`` record.
+
+    WET is Common Crawl's pre-extracted-text sibling of WARC: the same
+    record framing, but ``WARC-Type: conversion`` records whose payload
+    is the extracted plain text directly — no HTTP envelope, no transfer
+    or content codings.  The leading ``warcinfo`` record (and any other
+    non-conversion type) is skipped by the type gate.
+    """
+    for headers, payload in _iter_raw_records(data):
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        url, ts = _record_identity(headers)
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "text": payload.decode("utf-8", "replace"),
+        }
+
+
+def write_wet(records: list[dict]) -> bytes:
+    """Serialize {'url','warc_ts','text'} dicts to WET bytes (tests/demos)."""
+    out = bytearray()
+    for r in records:
+        body = r["text"].encode("utf-8")
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"Content-Type: text/plain\r\n"
+            + b"WARC-Target-URI: " + r["url"].encode() + _CRLF
+            + b"WARC-Date: " + ts.encode() + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF
+        )
+        out += head + _CRLF + body + _CRLF + _CRLF
+    return bytes(out)
+
+
+def read_wet(spark: SparkSession, path: str, pattern: str = "*.wet*") -> DataFrame:
+    """Directory of WET files -> pages(url, warc_ts, html, text, lang).
+
+    Rows arrive with ``text`` already populated and ``html`` NULL — the
+    extraction stage is upstream (Common Crawl already ran it), so these
+    pages feed the curation stages (quality, dedup, mix) directly.  Same
+    executor-side fan-out as :func:`read_warc`: one WET file per
+    ``binaryFile`` row, split into page rows inside an Arrow batch.
+    """
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+    )
+
+    def split_records(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in iter_wet_records(bytes(content)):
+                    rows.append((rec["url"], rec["warc_ts"], None, rec["text"], "und"))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

@@ -245,3 +245,89 @@ def test_chunked_decoder_rejects_negative_sizes():
     assert _decode_chunked(b"-6\r\nABCDEFGH\r\n0\r\n\r\n") is None
     # negative size after a valid chunk: keep the decoded prefix
     assert _decode_chunked(b"3\r\nabc\r\n-5\r\njunk\r\n0\r\n\r\n") == b"abc"
+
+
+# ---- WET (pre-extracted text conversion records) ----------------------
+
+
+def _wet_records(n=10, offset=0):
+    pages = [make_page(i + offset) for i in range(n)]
+    return [
+        {
+            "url": p["url"],
+            "warc_ts": p["warc_ts"].replace(microsecond=0),
+            "text": f"extracted text body {i + offset} with words\nsecond line",
+        }
+        for i, p in enumerate(pages)
+    ]
+
+
+def test_wet_roundtrip_pure():
+    from gonova_document_parser_spark.sources.warc import (
+        iter_wet_records,
+        write_wet,
+    )
+
+    recs = _wet_records(8)
+    back = list(iter_wet_records(write_wet(recs)))
+    assert [(r["url"], r["text"]) for r in back] == [
+        (r["url"], r["text"]) for r in recs
+    ]
+    assert all(a["warc_ts"] == b["warc_ts"] for a, b in zip(back, recs))
+
+
+def test_wet_skips_warcinfo_and_response_records():
+    """A real WET file leads with a warcinfo record; some archives mix
+    response records in — only conversion records are pages here, and
+    a WARC read of the same stream conversely skips the conversions."""
+    from gonova_document_parser_spark.sources.warc import (
+        iter_wet_records,
+        write_wet,
+    )
+
+    mixed = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        + write_wet(_wet_records(3))
+        + write_warc(_records(2))
+    )
+    assert len(list(iter_wet_records(mixed))) == 3
+    assert len(list(iter_warc_records(mixed))) == 2
+
+
+def test_wet_gzip_and_utf8_replacement():
+    from gonova_document_parser_spark.sources.warc import (
+        iter_wet_records,
+        write_wet,
+    )
+
+    recs = _wet_records(4)
+    assert len(list(iter_wet_records(gzip.compress(write_wet(recs))))) == 4
+    # hostile: invalid utf-8 in a conversion payload must not raise
+    raw = write_wet(_wet_records(1)).replace(b"extracted", b"extr\xff\xfeed")
+    [r] = list(iter_wet_records(raw))
+    assert "�" in r["text"]
+
+
+def test_read_wet_spark_feeds_curation_directly(spark, tmp_path):
+    """WET rows arrive with text populated and html NULL — they skip
+    extraction and feed the text stages (token counts here) directly."""
+    import pyspark.sql.functions as F
+
+    from gonova_document_parser_spark.functions.textstats import (
+        token_count_expr,
+    )
+    from gonova_document_parser_spark.sources.warc import read_wet, write_wet
+
+    for k in range(2):
+        (tmp_path / f"part{k}.warc.wet").write_bytes(
+            write_wet(_wet_records(6, offset=k * 6))
+        )
+    pages = read_wet(spark, str(tmp_path))
+    rows = pages.select(
+        "url",
+        F.col("html").isNull().alias("no_html"),
+        token_count_expr("text").alias("n_tokens"),
+    ).collect()
+    assert len(rows) == 12
+    assert all(r["no_html"] for r in rows)
+    assert all(r["n_tokens"] == 8 for r in rows)  # 6 + 2 words per fixture
