@@ -1105,6 +1105,84 @@ def _ensure_ivf_index(spark, sf_dir: str, n_cells: int = 16) -> str:
     return path
 
 
+def _semdedup_vectors(spark, sf_dir):
+    """Embeddings augmented with planted semantic duplicates (double-cast).
+
+    Clones (vec_id+1_000_000 for vec_id<50, cosine exactly 1.0 with their
+    source) and jitter twins (vec_id+2_000_000 for 50<=vec_id<100,
+    element 0 scaled by 1.1 — cosine ~0.999, a near- but not exact dup).
+    Deterministic column math only; the oracle never rebuilds these — it
+    reads the materialized index this frame feeds."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    twins = emb.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 100)).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 1.1).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(clones).unionByName(twins)
+
+
+def _semdedup_index_path(sf_dir: str) -> str:
+    """Like _ivf_index_path but for the dup-augmented SemDeDup corpus —
+    separate prefix so the two indexes never cross-serve."""
+    import os
+    import tempfile
+
+    from gonova_document_parser_spark.functions.similarity import (
+        input_content_digest,
+    )
+
+    digest = input_content_digest(os.path.join(sf_dir, "embeddings.parquet"))
+    return os.path.join(tempfile.gettempdir(), f"gonova_semdedup_{digest}")
+
+
+def _ensure_semdedup_index(spark, sf_dir: str, n_cells: int = 16) -> str:
+    """Materialize the SemDeDup cluster index if absent (same atomic
+    tmp-build + rename + _COMPLETE-marker discipline as _ensure_ivf_index)."""
+    import os
+    import shutil
+
+    from gonova_document_parser_spark.functions.similarity import (
+        ivf_index_ready,
+        ivf_materialize,
+    )
+
+    path = _semdedup_index_path(sf_dir)
+    if ivf_index_ready(path):
+        return path
+    tmp = f"{path}.build-{os.getpid()}"
+    ivf_materialize(_semdedup_vectors(spark, sf_dir), tmp, n_cells=n_cells)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # lost the race: another builder committed first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the materialized cluster index:
+    a vector is dropped iff a smaller-id vector in the SAME KMeans cell
+    has 4dp cosine >= 0.95.  Planted exact clones and jitter twins land
+    in their source's cell (identical/near-identical vectors quantize
+    together) and must drop; the oracle replays the same within-cell
+    NOT-EXISTS over the same index files, so the cluster assignment is
+    shared state, not re-derived."""
+    from gonova_document_parser_spark.functions.similarity import semantic_dedup
+
+    path = _ensure_semdedup_index(spark, sf_dir, n_cells=16)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return semantic_dedup(vectors, tau=0.95).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "keep"
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     # IVF (KMeans cells + n_probe). Materialize-once + probe: the KMeans job
     # runs a single time per corpus content (index keyed by embeddings
@@ -1284,6 +1362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "contamination": _q_contamination,
+        # ---- round-5 additions: appended AFTER position 50 on purpose —
+        # the driver snapshots the FIRST 50 entries, and slots 1-50 hold
+        # the round-4-unrecorded rotation (r4 union r5 covers the rest).
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2633,7 +2715,48 @@ def oracle_sql() -> dict[str, str]:
     mix = _topic_mix_oracle_sql()
     if mix is not None:
         out["topic_mix"] = mix
+    sd = _semantic_dedup_oracle_sql()
+    if sd is not None:
+        out["semantic_dedup"] = sd
     return out
+
+
+def _semantic_dedup_oracle_sql() -> str | None:
+    """Within-cell smaller-id NOT-EXISTS over the SAME materialized
+    SemDeDup index the Spark query reads (see _ivf_oracle_sql for the
+    index-availability protocol).  Cosine rounded to 4dp on both sides —
+    the cross-engine float contract every cosine query here uses."""
+    import os
+
+    sf_dir = os.environ.get("GONOVA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from gonova_document_parser_spark.functions.similarity import (
+            ivf_index_ready,
+        )
+
+        path = _semdedup_index_path(sf_dir)
+        if not ivf_index_ready(path):
+            from gonova_document_parser_spark.session import get_spark
+
+            spark = SparkSession.getActiveSession() or get_spark(
+                master="local[8]", shuffle_partitions=16
+            )
+            path = _ensure_semdedup_index(spark, sf_dir, n_cells=16)
+    except Exception:  # no Spark available here -> keep the rows-only check
+        return None
+    return f"""
+        WITH v AS (
+            SELECT vec_id, cell::INT AS cell, embedding::DOUBLE[] AS e
+            FROM read_parquet('{path}/vectors/*/*.parquet',
+                              hive_partitioning=1))
+        SELECT a.vec_id, a.cell,
+               NOT EXISTS (
+                   SELECT 1 FROM v b
+                   WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                     AND ROUND(list_cosine_similarity(b.e, a.e), 4) >= 0.95
+               ) AS keep
+        FROM v a
+    """
 
 
 def _topic_mix_oracle_sql() -> str | None:

@@ -591,3 +591,62 @@ def ann_topk_lsh(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over pre-clustered vectors.
+
+    Input carries a cluster assignment (``cell``, e.g. from
+    ``ivf_materialize`` — the same coarse quantizer ANN queries probe).
+    A vector is DROPPED iff some SAME-CELL vector with a smaller id has
+    cosine similarity (rounded to 4dp, the cross-engine contract used by
+    every cosine query here) >= ``tau``; otherwise kept.  "Smaller id
+    wins" is the deterministic keep-first relaxation of the paper's
+    greedy pass (Abbas et al. 2023, SemDeDup): a dropped vector's witness
+    may itself be dropped by an even smaller neighbor, which only ever
+    removes MORE of a duplicate clique, never a singleton — and makes the
+    verdict a pure function of the input, independent of partitioning.
+
+    Scale shape: candidate pairs come from ONE equi-join on ``cell`` —
+    pair count is sum(cell_size^2), bounded by choosing n_cells ~
+    corpus_size / target_cell_size at index-build time (the knob the
+    paper also turns); cross-cell near-dups are missed by construction,
+    the approximation SemDeDup accepts.  The join-back that attaches the
+    verdict is an equi-join on the id — no window over the whole corpus,
+    no driver-side state.
+    """
+    a = vectors.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    b = vectors.select(
+        F.col(cell_col).alias("_cell_b"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vec_b"),
+    )
+    dropped = (
+        a.join(b, (F.col("_cell") == F.col("_cell_b")), "inner")
+        .where(
+            (F.col("_id_b") < F.col("_id"))
+            & (F.round(cosine_expr(F.col("_vec"), F.col("_vec_b")), 4) >= tau)
+        )
+        .select(F.col("_id").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        vectors.join(
+            dropped, F.col(id_col) == F.col("_dropped_id"), "left"
+        )
+        .select(
+            id_col,
+            cell_col,
+            F.col("_dropped_id").isNull().alias("keep"),
+        )
+    )

@@ -1294,3 +1294,58 @@ def test_line_dedup_crlf_matches_lf(spark):
     for i in list(range(4)) + list(range(10, 14)):
         assert out[i]["clean_text"] == f"opener {i}"
         assert out[i]["n_dropped"] == 1
+
+
+def test_semantic_dedup_keep_first_within_cell(spark):
+    """Smaller id wins inside a cell; cross-cell near-dups are missed by
+    construction; a dup clique drops EVERYTHING but its smallest id even
+    when a dropped vector is the only witness above tau for another."""
+    from gonova_document_parser_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        # cell 0: 1 and 2 are clones of 0 -> both dropped (1's witness 0
+        # also covers 2 transitively via 0 itself; keep-first semantics)
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),
+        # cell 0: orthogonal vector survives
+        (3, 0, [0.0, 1.0, 0.0]),
+        # cell 1: clone of id 0's vector, but DIFFERENT cell -> kept
+        (4, 1, [1.0, 0.0, 0.0]),
+        # cell 1: near-dup of 4 (cos ~0.9806 >= 0.95) -> dropped
+        (5, 1, [1.0, 0.2, 0.0]),
+        # cell 1: below tau vs both (cos(4,6)=0.7071) -> kept
+        (6, 1, [1.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(df, tau=0.95).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: True, 5: False, 6: True}
+
+
+def test_semantic_dedup_verdict_independent_of_partitioning(spark):
+    """The verdict is a pure function of the input: 1-partition and
+    8-partition runs agree row for row."""
+    from gonova_document_parser_spark.functions.similarity import semantic_dedup
+
+    rows = [
+        (i, i % 4, [float((i * 7 + j * 3) % 11) for j in range(8)])
+        for i in range(64)
+    ] + [(1000 + i, i % 4, [float((i * 7 + j * 3) % 11) for j in range(8)])
+         for i in range(16)]  # planted same-cell clones of i<16
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    one = sorted(
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(df.coalesce(1), tau=0.95).collect()
+    )
+    many = sorted(
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup(df.repartition(8), tau=0.95).collect()
+    )
+    assert one == many
+    kept = dict(one)
+    for i in range(16):  # clone of vec i sits in i's cell -> dropped
+        assert kept[1000 + i] is False and kept[i % 4 * 0 + i] is not None
