@@ -691,6 +691,53 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+_ROBOTS_RULES = [
+    # host, agent, allow, pattern — shared verbatim with the oracle VALUES
+    ("docs.example.com", "*", False, "/private/"),
+    ("docs.example.com", "*", True, "/private/pub/"),
+    ("docs.example.com", "*", False, "/raw*.bin"),
+    ("docs.example.com", "*", False, "/exact$"),
+    ("api.example.com", "*", False, "/"),
+    ("api.example.com", "gonovabot", False, "/internal/"),
+    ("closed.example.net", "*", False, "/"),
+]
+
+
+def _q_robots_filter(spark, sf_dir):
+    """robots.txt allow/disallow verdicts (RFC 9309): longest-match with
+    allow-wins ties, ``*``/``$`` pattern extensions, and agent-group
+    shadowing (gonovabot's own group on api.example.com hides that
+    host's ``Disallow: /`` entirely).  Hosts/paths are planted by doc_id
+    residue; the oracle rebuilds the same pages AND replays the generic
+    evaluator — identical regex compilation chain, window argmax — not a
+    per-residue closed form."""
+    from gonova_document_parser_spark.functions.robots import robots_verdict
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("docs.example.com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("api.example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("closed.example.net"))
+        .otherwise(F.lit("norules.example.io"))
+    )
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/private/doc"), "doc_id"))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/private/pub/doc"), "doc_id"))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("/raw"), "doc_id", F.lit(".bin")))
+        .when(F.col("doc_id") % 7 == 3, F.lit("/exact"))
+        .when(F.col("doc_id") % 7 == 4, F.concat(F.lit("/exactly"), "doc_id"))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/internal/doc"), "doc_id"))
+        .otherwise(F.concat(F.lit("/ok/doc"), "doc_id"))
+    )
+    pages = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, agent string, allow boolean, pattern string"
+    )
+    return robots_verdict(pages, rules, crawler="gonovabot")
+
+
 def _q_script_stats(spark, sf_dir):
     """Writing-script composition with planted multilingual suffixes
     (Cyrillic / Arabic / CJK appended by doc_id residue) — dominant
@@ -1366,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver snapshots the FIRST 50 entries, and slots 1-50 hold
         # the round-4-unrecorded rotation (r4 union r5 covers the rest).
         "semantic_dedup": _q_semantic_dedup,
+        "robots_filter": _q_robots_filter,
     }
 
 
@@ -2707,6 +2755,77 @@ def oracle_sql() -> dict[str, str]:
                    END AS route_reason,
                    COUNT(*) AS c
             FROM r GROUP BY route, route_reason
+        """,
+        # robots.txt verdicts: the oracle replays the GENERIC evaluator —
+        # same host/path extraction regexes, same pattern->RE2 compile
+        # chain (escape metachars except * -> .*, re-anchor trailing \$),
+        # same agent-group shadowing and longest/allow-wins/pattern-desc
+        # argmax — over the same literal rules VALUES
+        "robots_filter": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://' ||
+                       CASE doc_id % 4
+                            WHEN 0 THEN 'docs.example.com'
+                            WHEN 1 THEN 'api.example.com'
+                            WHEN 2 THEN 'closed.example.net'
+                            ELSE 'norules.example.io' END ||
+                       CASE doc_id % 7
+                            WHEN 0 THEN '/private/doc' || doc_id
+                            WHEN 1 THEN '/private/pub/doc' || doc_id
+                            WHEN 2 THEN '/raw' || doc_id || '.bin'
+                            WHEN 3 THEN '/exact'
+                            WHEN 4 THEN '/exactly' || doc_id
+                            WHEN 5 THEN '/internal/doc' || doc_id
+                            ELSE '/ok/doc' || doc_id END AS url
+                FROM documents),
+            keyed AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                       CASE WHEN regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?].*)?$', 1) = ''
+                            THEN '/'
+                            ELSE regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?].*)?$', 1)
+                       END AS path
+                FROM pages),
+            rules(host, agent, allow, pattern) AS (VALUES
+                ('docs.example.com',   '*',         FALSE, '/private/'),
+                ('docs.example.com',   '*',         TRUE,  '/private/pub/'),
+                ('docs.example.com',   '*',         FALSE, '/raw*.bin'),
+                ('docs.example.com',   '*',         FALSE, '/exact$'),
+                ('api.example.com',    '*',         FALSE, '/'),
+                ('api.example.com',    'gonovabot', FALSE, '/internal/'),
+                ('closed.example.net', '*',         FALSE, '/')),
+            ranked AS (
+                SELECT host, allow, pattern,
+                       CASE WHEN lower(agent) = 'gonovabot' THEN 0 ELSE 1 END AS rnk
+                FROM rules WHERE lower(agent) IN ('gonovabot', '*')),
+            grp AS (
+                SELECT host, allow, pattern,
+                       '^' || regexp_replace(
+                                replace(
+                                  regexp_replace(pattern,
+                                    '([\\.\^\$\+\?\(\)\{\}\[\]\|])', '\\\1', 'g'),
+                                  '*', '.*'),
+                                '\\\$$', '$') AS rx
+                FROM (SELECT *, MIN(rnk) OVER (PARTITION BY host) AS best
+                      FROM ranked)
+                WHERE rnk = best),
+            matched AS (
+                SELECT k.doc_id, r.allow, r.pattern,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY k.doc_id
+                           ORDER BY length(r.pattern) DESC, r.allow DESC,
+                                    r.pattern DESC) AS rn
+                FROM keyed k
+                JOIN grp r ON k.host = r.host AND regexp_matches(k.path, r.rx))
+            SELECT k.doc_id, k.url,
+                   COALESCE(m.allow, TRUE) AS allowed,
+                   m.pattern AS matched_pattern
+            FROM keyed k
+            LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (doc_id)
         """,
     }
     ivf = _ivf_oracle_sql()
