@@ -691,6 +691,19 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-paradigm LM quality score: an interpolated bigram model
+    (lam * ML bigram + (1-lam) * Laplace unigram) trains on the head
+    subset (doc_id % 10 == 0, standing in for the trusted reference
+    corpus) and scores every document's average negative log-prob.
+    The oracle replays training AND scoring closed-form; (1-lam) is
+    written as the SAME IEEE subtraction (1.0 - 0.9) on both engines."""
+    from gonova_document_parser_spark.functions.lm import lm_perplexity_scores
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return lm_perplexity_scores(d, F.col("doc_id") % 10 == 0, lam=0.9)
+
+
 _ROBOTS_RULES = [
     # host, agent, allow, pattern — shared verbatim with the oracle VALUES
     ("docs.example.com", "*", False, "/private/"),
@@ -1414,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-4-unrecorded rotation (r4 union r5 covers the rest).
         "semantic_dedup": _q_semantic_dedup,
         "robots_filter": _q_robots_filter,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -2826,6 +2840,50 @@ def oracle_sql() -> dict[str, str]:
                    m.pattern AS matched_pattern
             FROM keyed k
             LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (doc_id)
+        """,
+        # interpolated bigram LM trained on the doc_id%10==0 head and
+        # scored over every doc — training and scoring both replayed;
+        # (1.0 - 0.9) is the identical IEEE subtraction Spark computes
+        "lm_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents),
+            flat AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS i
+                FROM toks),
+            bg AS (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+                FROM flat
+                QUALIFY w2 IS NOT NULL),
+            train_uni AS (
+                SELECT w, COUNT(*) AS c FROM flat
+                WHERE doc_id % 10 = 0 GROUP BY w),
+            train_bi AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM bg
+                WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+            scal AS (
+                SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS v
+                FROM train_uni),
+            scored AS (
+                SELECT b.doc_id,
+                       ln(0.9 * (CASE WHEN tb.c12 IS NOT NULL
+                                      THEN tb.c12::DOUBLE / u1.c::DOUBLE
+                                      ELSE 0.0 END)
+                          + (1.0 - 0.9) *
+                            ((COALESCE(u2.c, 0)::DOUBLE + 1.0)
+                             / (scal.n + scal.v))) AS lp
+                FROM bg b
+                LEFT JOIN train_bi tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+                LEFT JOIN train_uni u1 ON b.w1 = u1.w
+                LEFT JOIN train_uni u2 ON b.w2 = u2.w
+                CROSS JOIN scal)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(-AVG(lp), 4)::DOUBLE AS nll
+            FROM scored GROUP BY doc_id
         """,
     }
     ivf = _ivf_oracle_sql()

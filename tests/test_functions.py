@@ -1349,3 +1349,47 @@ def test_semantic_dedup_verdict_independent_of_partitioning(spark):
     kept = dict(one)
     for i in range(16):  # clone of vec i sits in i's cell -> dropped
         assert kept[1000 + i] is False and kept[i % 4 * 0 + i] is not None
+
+
+def test_lm_perplexity_orders_fluent_below_noise(spark):
+    """Docs made of reference bigrams must score lower nll than the same
+    vocabulary scrambled, which must score lower than full OOV noise."""
+    import pyspark.sql.functions as F
+
+    from gonova_document_parser_spark.functions.lm import lm_perplexity_scores
+
+    ref = "the quick brown fox jumps over the lazy dog " * 5
+    docs = [
+        (0, ref),                                     # train (doc_id%10==0)
+        (10, ref),                                    # train
+        (1, "the quick brown fox jumps over the lazy dog"),   # fluent
+        (2, "dog the over fox brown lazy jumps quick the"),   # scrambled
+        (3, "zxq wvu tsr qpo nml kji hgf edc ba9"),           # OOV
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["nll"]
+        for r in lm_perplexity_scores(df, F.col("doc_id") % 10 == 0).collect()
+    }
+    assert out[1] < out[2] < out[3]
+    # train docs score their own data well below the scrambled doc (they
+    # carry the cross-repeat "dog the" bigram, so they can sit a hair
+    # above the pure-substring doc 1 — that ordering is not asserted)
+    assert out[0] < out[2] and out[10] < out[2]
+
+
+def test_lm_scoring_plan_broadcasts_model(spark):
+    """The scored corpus must meet the model via broadcast joins — the
+    per-doc explode never sort-merge-joins on token keys."""
+    import pyspark.sql.functions as F
+
+    from gonova_document_parser_spark.functions.lm import lm_perplexity_scores
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = lm_perplexity_scores(df, F.col("doc_id") % 10 == 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
