@@ -691,6 +691,33 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+def _q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (what the web calls each target): planted
+    link edges with empty anchors, exact ties, and a hot 'home' anchor;
+    two hash aggregations, deterministic struct-max tiebreak — the
+    oracle replays both levels with a window argmax."""
+    from gonova_document_parser_spark.functions.webgraph import anchor_text_agg
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    links = d.select(
+        F.concat(
+            F.lit("https://site"), F.col("doc_id") % 20,
+            F.lit(".example.org/page"), F.col("doc_id") % 50,
+        ).alias("target"),
+        (
+            F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+            .when(F.col("doc_id") % 5 == 1, F.lit("home"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("read more"))
+            .when(
+                F.col("doc_id") % 5 == 3,
+                F.concat(F.lit("docs "), F.col("doc_id") % 3),
+            )
+            .otherwise(F.lit("home"))
+        ).alias("anchor"),
+    )
+    return anchor_text_agg(links)
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-paradigm LM quality score: an interpolated bigram model
     (lam * ML bigram + (1-lam) * Laplace unigram) trains on the head
@@ -1428,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "robots_filter": _q_robots_filter,
         "lm_perplexity": _q_lm_perplexity,
+        "anchor_texts": _q_anchor_texts,
     }
 
 
@@ -2884,6 +2912,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_bigrams,
                    ROUND(-AVG(lp), 4)::DOUBLE AS nll
             FROM scored GROUP BY doc_id
+        """,
+        # anchor-text aggregation: per-(target, anchor) counts then a
+        # per-target argmax over non-empty anchors (count desc, anchor
+        # desc — the same lexicographic struct-max order Spark uses)
+        "anchor_texts": """
+            WITH links AS (
+                SELECT 'https://site' || (doc_id % 20) ||
+                       '.example.org/page' || (doc_id % 50) AS target,
+                       CASE doc_id % 5
+                            WHEN 0 THEN ''
+                            WHEN 1 THEN 'home'
+                            WHEN 2 THEN 'read more'
+                            WHEN 3 THEN 'docs ' || (doc_id % 3)
+                            ELSE 'home' END AS anchor
+                FROM documents),
+            pa AS (
+                SELECT target, anchor, COUNT(*) AS c
+                FROM links GROUP BY target, anchor),
+            tot AS (
+                SELECT target, SUM(c)::BIGINT AS n_links,
+                       COUNT(*) AS n_anchors
+                FROM pa GROUP BY target),
+            top AS (
+                SELECT target, anchor AS top_anchor,
+                       c AS top_anchor_links,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY target
+                           ORDER BY c DESC, anchor DESC) AS rn
+                FROM pa WHERE anchor <> '')
+            SELECT t.target, t.n_links, t.n_anchors,
+                   p.top_anchor, p.top_anchor_links
+            FROM tot t
+            LEFT JOIN (SELECT * FROM top WHERE rn = 1) p USING (target)
         """,
     }
     ivf = _ivf_oracle_sql()

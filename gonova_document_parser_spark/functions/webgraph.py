@@ -117,3 +117,52 @@ def pagerank_hosts(
             .localCheckpoint(eager=False)
         )
     return ranks.select("host", F.col("r").alias("rank_scaled"))
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    target_col: str = "target",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Anchor-text aggregation: what the web CALLS each target page.
+
+    Inbound anchor strings are a classic relevance/label signal (they
+    describe the target in other authors' words — the web-scale
+    counterpart of human labels).  Output per target:
+    ``(target, n_links, n_anchors, top_anchor, top_anchor_links)`` where
+    ``top_anchor`` is the most frequent non-empty anchor string with a
+    deterministic lexicographic-max tiebreak.
+
+    Two hash aggregations, no window and no join: groupBy (target,
+    anchor) for per-string counts (map-side combine collapses the hot
+    anchors early), then groupBy target with a conditional struct-max —
+    the same shape the skew-tested salted_counts family uses, so a
+    mega-inlinked target (every wiki page links "home") costs one
+    combiner-friendly reduce, not a sorted window.
+    """
+    t = F.col(target_col).alias("target")
+    a = F.col(anchor_col).alias("anchor")
+    per_anchor = links.select(t, a).groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    best = F.max(
+        F.when(
+            F.col("anchor") != "",
+            F.struct(F.col("c").alias("c"), F.col("anchor").alias("anchor")),
+        )
+    ).alias("_best")
+    return (
+        per_anchor.groupBy("target")
+        .agg(
+            F.sum("c").alias("n_links"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            best,
+        )
+        .select(
+            "target",
+            "n_links",
+            "n_anchors",
+            F.col("_best.anchor").alias("top_anchor"),
+            F.col("_best.c").alias("top_anchor_links"),
+        )
+    )

@@ -330,3 +330,112 @@ def read_wet(spark: SparkSession, path: str, pattern: str = "*.wet*") -> DataFra
             )
 
     return files.select("content").mapInPandas(split_records, PAGES_DDL)
+
+
+_WAT_LINKS_DDL = (
+    "url string, warc_ts timestamp, target string, anchor string"
+)
+
+
+def iter_wat_records(data: bytes) -> Iterator[dict]:
+    """Yield {'url', 'warc_ts', 'links': [(target, anchor), ...]} per
+    ``metadata`` record.
+
+    WAT is Common Crawl's per-page metadata sibling of WARC: the same
+    record framing carrying a JSON envelope; outgoing links live at
+    Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links
+    as ``{path, url, text?}`` objects.  Only href anchors (``path``
+    starting ``A@/``) count as links here — script/img/css references are
+    not hyperlink edges.  Undecodable JSON yields a bounded empty-links
+    row (the page stays visible to graph accounting), never an exception.
+    """
+    import json
+
+    for headers, payload in _iter_raw_records(data):
+        if headers.get(b"warc-type") != b"metadata":
+            continue
+        url, ts = _record_identity(headers)
+        links: list[tuple[str, str]] = []
+        try:
+            env = json.loads(payload.decode("utf-8", "replace"))
+            raw = (
+                env.get("Envelope", {})
+                .get("Payload-Metadata", {})
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {})
+                .get("Links", [])
+            )
+            for lk in raw:
+                if not isinstance(lk, dict):
+                    continue
+                if not str(lk.get("path", "")).startswith("A@/"):
+                    continue
+                target = lk.get("url")
+                if target:
+                    links.append((str(target), str(lk.get("text", ""))))
+        except (ValueError, AttributeError):
+            pass  # malformed envelope -> page row with zero links
+        yield {"url": url, "warc_ts": ts, "links": links}
+
+
+def write_wat(records: list[dict]) -> bytes:
+    """Serialize {'url','warc_ts','links':[(target,anchor),...]} dicts to
+    WAT bytes (tests/demos)."""
+    import json
+
+    out = bytearray()
+    for r in records:
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": t, "text": a}
+                                for t, a in r["links"]
+                            ]
+                        }
+                    }
+                }
+            }
+        }
+        body = json.dumps(env).encode("utf-8")
+        ts = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n"
+            b"Content-Type: application/json\r\n"
+            + b"WARC-Target-URI: " + r["url"].encode() + _CRLF
+            + b"WARC-Date: " + ts.encode() + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF
+        )
+        out += head + _CRLF + body + _CRLF + _CRLF
+    return bytes(out)
+
+
+def read_wat(spark: SparkSession, path: str, pattern: str = "*.wat*") -> DataFrame:
+    """Directory of WAT files -> link edges (url, warc_ts, target, anchor).
+
+    One row per outgoing href — the input for host-graph construction
+    (``functions/webgraph.py``) and anchor-text aggregation without
+    re-parsing page HTML.  Same executor-side fan-out as
+    :func:`read_warc`; the explode happens inside the Arrow batch.
+    """
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+    )
+
+    def split_records(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for rec in iter_wat_records(bytes(content)):
+                    for target, anchor in rec["links"]:
+                        rows.append((rec["url"], rec["warc_ts"], target, anchor))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "target", "anchor"]
+            )
+
+    return files.select("content").mapInPandas(split_records, _WAT_LINKS_DDL)

@@ -331,3 +331,77 @@ def test_read_wet_spark_feeds_curation_directly(spark, tmp_path):
     assert len(rows) == 12
     assert all(r["no_html"] for r in rows)
     assert all(r["n_tokens"] == 8 for r in rows)  # 6 + 2 words per fixture
+
+
+# ---- WAT (per-page metadata / link records) ----------------------------
+
+
+def _wat_records(n=5, offset=0):
+    pages = [make_page(i + offset) for i in range(n)]
+    return [
+        {
+            "url": p["url"],
+            "warc_ts": p["warc_ts"].replace(microsecond=0),
+            "links": [
+                (f"https://t{i + offset}.example.org/a", f"anchor {i + offset}"),
+                ("https://shared.example.org/", "home"),
+            ],
+        }
+        for i, p in enumerate(pages)
+    ]
+
+
+def test_wat_roundtrip_and_href_gate():
+    from gonova_document_parser_spark.sources.warc import (
+        iter_wat_records,
+        write_wat,
+    )
+
+    recs = _wat_records(4)
+    back = list(iter_wat_records(write_wat(recs)))
+    assert [(r["url"], r["links"]) for r in back] == [
+        (r["url"], r["links"]) for r in recs
+    ]
+    # non-A@ paths (scripts, images) are NOT hyperlink edges
+    import json
+
+    env = {"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+        "HTML-Metadata": {"Links": [
+            {"path": "SCRIPT@/src", "url": "https://cdn.example/x.js"},
+            {"path": "IMG@/src", "url": "https://cdn.example/x.png"},
+            {"path": "A@/href", "url": "https://ok.example/"},
+        ]}}}}}
+    body = json.dumps(env).encode()
+    raw = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+           b"WARC-Target-URI: https://p.example/\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+           + body + b"\r\n\r\n")
+    [r] = list(iter_wat_records(raw))
+    assert r["links"] == [("https://ok.example/", "")]
+
+
+def test_wat_malformed_json_yields_bounded_empty_row():
+    raw = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+           b"WARC-Target-URI: https://bad.example/\r\n"
+           b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+           b"Content-Length: 9\r\n\r\n{not json\r\n\r\n")
+    from gonova_document_parser_spark.sources.warc import iter_wat_records
+
+    [r] = list(iter_wat_records(raw))
+    assert r["url"] == "https://bad.example/" and r["links"] == []
+
+
+def test_read_wat_feeds_anchor_aggregation(spark, tmp_path):
+    from gonova_document_parser_spark.functions.webgraph import anchor_text_agg
+    from gonova_document_parser_spark.sources.warc import read_wat, write_wat
+
+    for k in range(2):
+        (tmp_path / f"part{k}.warc.wat.gz").write_bytes(
+            gzip.compress(write_wat(_wat_records(5, offset=k * 5)))
+        )
+    links = read_wat(spark, str(tmp_path))
+    assert links.count() == 20  # 10 pages x 2 links
+    agg = {r["target"]: r for r in anchor_text_agg(links).collect()}
+    shared = agg["https://shared.example.org/"]
+    assert shared["n_links"] == 10 and shared["top_anchor"] == "home"
