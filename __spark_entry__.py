@@ -691,6 +691,40 @@ def _q_governance_filter(spark, sf_dir):
     ).select("doc_id", "url", "noindex", "domain_blocked", "keep")
 
 
+_BLOOM_M, _BLOOM_K = 1 << 16, 5
+
+
+def _q_bloom_frontier(spark, sf_dir):
+    """Bloom-filter frontier probe: the documents' urls build the seen
+    filter; candidates mix half the seen urls with planted new ones.
+    The affine (md5-seeded) hash family makes bit construction and
+    probing engine-reproducible; the oracle skips the int64 packing and
+    joins candidate positions against the DISTINCT set-bit positions —
+    identical membership semantics, so verdicts hash-match exactly
+    (false positives included)."""
+    from gonova_document_parser_spark.functions.frontier import (
+        frontier_probe,
+        url_bloom_bits,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    seen = d.select(
+        F.concat(
+            F.lit("https://site"), F.col("doc_id") % 20,
+            F.lit(".example.org/doc"), F.col("doc_id"),
+        ).alias("url")
+    )
+    cand = seen.where(F.col("url").endswith("0")).unionByName(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            F.concat(F.lit("https://new.example.org/n"), F.col("doc_id")).alias(
+                "url"
+            )
+        )
+    )
+    bits = url_bloom_bits(seen, _BLOOM_M, _BLOOM_K, hash_fn="affine")
+    return frontier_probe(cand, bits, _BLOOM_M, _BLOOM_K, hash_fn="affine")
+
+
 def _q_anchor_texts(spark, sf_dir):
     """Anchor-text aggregation (what the web calls each target): planted
     link edges with empty anchors, exact ties, and a hot 'home' anchor;
@@ -1456,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "lm_perplexity": _q_lm_perplexity,
         "anchor_texts": _q_anchor_texts,
+        "bloom_frontier": _q_bloom_frontier,
     }
 
 
@@ -2945,6 +2980,38 @@ def oracle_sql() -> dict[str, str]:
                    p.top_anchor, p.top_anchor_links
             FROM tot t
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) p USING (target)
+        """,
+        # -- Bloom frontier, affine variant: the oracle replays the SAME
+        #    k affine bit positions (one md5 -> (a*h0+b) mod p mod m) but
+        #    skips the int64 word packing — membership over the DISTINCT
+        #    set-position set is bit-for-bit the packed-word semantics,
+        #    so verdicts (false positives included) hash-match exactly.
+        "bloom_frontier": f"""
+            WITH params(i, a, b) AS (VALUES {_affine_values(_BLOOM_K)}),
+            seen AS (
+                SELECT 'https://site' || (doc_id % 20) ||
+                       '.example.org/doc' || doc_id AS url
+                FROM documents),
+            cand AS (
+                SELECT url FROM seen WHERE url LIKE '%0'
+                UNION ALL
+                SELECT 'https://new.example.org/n' || doc_id AS url
+                FROM documents WHERE doc_id % 5 = 0),
+            seen_pos AS (
+                SELECT DISTINCT
+                       ((a * (('0x' || substr(md5(url), 1, 15))::BIGINT
+                              % 2147483647) + b)
+                        % 2147483647) % {_BLOOM_M} AS pos
+                FROM seen, params),
+            cand_pos AS (
+                SELECT url,
+                       ((a * (('0x' || substr(md5(url), 1, 15))::BIGINT
+                              % 2147483647) + b)
+                        % 2147483647) % {_BLOOM_M} AS pos
+                FROM cand, params)
+            SELECT c.url, COUNT(s.pos) = {_BLOOM_K} AS probably_seen
+            FROM cand_pos c LEFT JOIN seen_pos s USING (pos)
+            GROUP BY c.url
         """,
     }
     ivf = _ivf_oracle_sql()
