@@ -725,6 +725,68 @@ def _q_bloom_frontier(spark, sf_dir):
     return frontier_probe(cand, bits, _BLOOM_M, _BLOOM_K, hash_fn="affine")
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights toward the doc_id%10==0
+    target subset (the same trusted-head convention lm_perplexity
+    uses).  Affine (md5) bucketing so DuckDB replays feature hashing,
+    both Laplace-smoothed bucket models, and the per-doc log-ratio sum
+    closed-form; logw rounded 4dp per the cross-engine float
+    contract."""
+    from gonova_document_parser_spark.functions.dsir import importance_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = importance_weights(
+        d, F.col("doc_id") % 10 == 0, n_buckets=4096, hash_fn="affine"
+    )
+    return w.select(
+        "doc_id", "n_feats", F.round("logw", 4).alias("logw")
+    )
+
+
+def _q_boilerplate(spark, sf_dir):
+    """Per-line boilerplate stripping over synthetic full pages: every
+    document's text is wrapped in planted furniture (nav bar, cookie
+    banner, a per-doc-varying subscribe-shout or prose line, copyright
+    footer).  The oracle replays the identical line verdict — same
+    regexes, same stopword list, same 0.5 upper-ratio arithmetic — via
+    DuckDB list lambdas, so kept-line sets and the reassembled clean
+    text prefix hash-match exactly."""
+    from gonova_document_parser_spark.functions.boilerplate import (
+        strip_boilerplate,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    page = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Home | About | Contact"),
+            F.lit(
+                "We use cookies to improve your browsing experience on this site."
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("SUBSCRIBE NOW TO OUR NEWSLETTER TODAY"),
+            ).otherwise(
+                F.lit(
+                    "Read the documentation for more details about the parser here."
+                )
+            ),
+            F.lit("© 2026 Example Corp. All rights reserved."),
+        ).alias("text"),
+    )
+    return strip_boilerplate(page).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean_text").alias("clean_len"),
+        F.substring("clean_text", 1, 80).alias("clean_head"),
+    )
+
+
 def _q_anchor_texts(spark, sf_dir):
     """Anchor-text aggregation (what the web calls each target): planted
     link edges with empty anchors, exact ties, and a hot 'home' anchor;
@@ -1491,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "anchor_texts": _q_anchor_texts,
         "bloom_frontier": _q_bloom_frontier,
+        "boilerplate": _q_boilerplate,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1585,6 +1649,30 @@ def _affine_values(num_hashes: int = 32) -> str:
     return ", ".join(
         f"({i}, {a}, {b})"
         for i, (a, b) in ((i, _affine_params(i)) for i in range(num_hashes))
+    )
+
+
+def _bp_verdict_sql(var: str = "x") -> str:
+    """DuckDB replica of boilerplate.line_verdict_expr for one line
+    ``var`` — built FROM the module constants (MARKER_RE / WORD_RE /
+    STOPWORDS) so the two engines can never drift."""
+    from gonova_document_parser_spark.functions.boilerplate import (
+        MARKER_RE,
+        WORD_RE,
+    )
+    from gonova_document_parser_spark.functions.textstats import STOPWORDS
+
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    words = f"regexp_extract_all(lower(trim({var})), '{WORD_RE}')"
+    return (
+        f"length(trim({var})) >= 30 "
+        f"AND len({words}) >= 4 "
+        f"AND NOT regexp_matches(lower(trim({var})), '{MARKER_RE}') "
+        f"AND (len(regexp_extract_all(trim({var}), '[A-Za-z]')) = 0 "
+        f"OR len(regexp_extract_all(trim({var}), '[A-Z]')) "
+        f"<= 0.5 * len(regexp_extract_all(trim({var}), '[A-Za-z]'))) "
+        f"AND (len(list_filter({words}, w -> list_contains({sw}, w))) > 0 "
+        f"OR len({words}) >= 12)"
     )
 
 
@@ -3012,6 +3100,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.url, COUNT(s.pos) = {_BLOOM_K} AS probably_seen
             FROM cand_pos c LEFT JOIN seen_pos s USING (pos)
             GROUP BY c.url
+        """,
+        # -- per-line boilerplate verdict replayed via DuckDB list lambdas;
+        #    COALESCE guards array_to_string([]) -> NULL (Spark array_join
+        #    of an empty array is '') — same contract as remove_dup_spans
+        "boilerplate": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       'Home | About | Contact' || chr(10) ||
+                       'We use cookies to improve your browsing experience on this site.'
+                       || chr(10) || COALESCE(text, '') || chr(10) ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'SUBSCRIBE NOW TO OUR NEWSLETTER TODAY'
+                            ELSE 'Read the documentation for more details about the parser here.'
+                       END || chr(10) ||
+                       '© 2026 Example Corp. All rights reserved.' AS t
+                FROM documents),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+            k AS (SELECT doc_id, len(ls)::INT AS n_lines,
+                         list_filter(ls, x -> {_bp_verdict_sql('x')}) AS kept
+                  FROM l)
+            SELECT doc_id, n_lines, len(kept)::INT AS n_kept,
+                   length(COALESCE(array_to_string(kept, chr(10)), ''))::INT
+                     AS clean_len,
+                   substr(COALESCE(array_to_string(kept, chr(10)), ''), 1, 80)
+                     AS clean_head
+            FROM k
+        """,
+        # -- DSIR: hashed uni+bigram buckets (one md5 each), Laplace-
+        #    smoothed target/raw models, per-doc summed log ratio.  The
+        #    raw model covers every probe bucket (probes COME from raw),
+        #    so the unseen-bucket default never fires and the oracle
+        #    needs no fallback arm.  4096.0 additions replicate the
+        #    engine's python-float denominators digit-for-digit.
+        "dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   w -> w <> '') AS ws
+                FROM documents),
+            flat AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS i
+                FROM toks),
+            bg AS (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+                FROM flat
+                QUALIFY w2 IS NOT NULL),
+            feats AS (
+                SELECT doc_id, w AS f FROM flat
+                UNION ALL
+                SELECT doc_id, w1 || ' ' || w2 AS f FROM bg),
+            fb AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b
+                FROM feats),
+            t AS (SELECT b, COUNT(*) AS ct FROM fb
+                  WHERE doc_id % 10 = 0 GROUP BY b),
+            r AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+            scal AS (
+                SELECT (SELECT SUM(ct) FROM t)::DOUBLE + 4096.0 AS dt,
+                       (SELECT SUM(cr) FROM r)::DOUBLE + 4096.0 AS dr),
+            scored AS (
+                SELECT fb.doc_id,
+                       ln((COALESCE(t.ct, 0)::DOUBLE + 1.0) / scal.dt)
+                       - ln((r.cr::DOUBLE + 1.0) / scal.dr) AS lr
+                FROM fb
+                LEFT JOIN t USING (b)
+                JOIN r USING (b)
+                CROSS JOIN scal)
+            SELECT doc_id, COUNT(*) AS n_feats,
+                   ROUND(SUM(lr), 4)::DOUBLE AS logw
+            FROM scored GROUP BY doc_id
         """,
     }
     ivf = _ivf_oracle_sql()
