@@ -75,6 +75,14 @@ HEADLINE = [
     "topic_mix",
     "incr_dedup",
     "host_graph",
+    # round-5 operators
+    "semantic_dedup",
+    "robots_filter",
+    "lm_perplexity",
+    "anchor_texts",
+    "bloom_frontier",
+    "boilerplate",
+    "dsir_weights",
     # host_pagerank and dedup_clusters are deliberately NOT headline rows:
     # both are iterative driver loops whose local wall is dominated by the
     # ~1 s/round job-scheduling floor (see BENCH/BASELINE.md §2), not by
