@@ -725,6 +725,51 @@ def _q_bloom_frontier(spark, sf_dir):
     return frontier_probe(cand, bits, _BLOOM_M, _BLOOM_K, hash_fn="affine")
 
 
+_FETCH_DELAYS = [
+    # host, delay_sec — shared verbatim with the oracle VALUES; delays are
+    # exact binary fractions so (rank-1)*delay is bit-identical cross-engine
+    ("docs.example.com", 0.5),
+    ("ads.example.org", 2.0),
+]
+
+
+def _q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware frontier schedule: hosts hash-assign to 8
+    fetcher lanes (md5 low-60 so DuckDB replays the assignment), the
+    within-host order is one row_number window (priority desc, url
+    tiebreak), and ``fetch_offset_sec = (rank-1) * delay`` with two
+    planted per-host crawl-delays broadcast over the default.  The
+    oracle rebuilds the identical frontier and replays window + hash +
+    offset closed-form."""
+    from gonova_document_parser_spark.functions.frontier import schedule_frontier
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("docs.example.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("sub.spam.example.net"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("spam.example.net"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("notspam.example.net"))
+        .otherwise(F.lit("ads.example.org"))
+    )
+    frontier = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        (F.col("doc_id") % 97).alias("priority"),
+    )
+    delays = spark.createDataFrame(
+        _FETCH_DELAYS, "host string, delay_sec double"
+    )
+    return schedule_frontier(
+        frontier,
+        n_fetchers=8,
+        default_delay_sec=1.0,
+        priority_col="priority",
+        delays=delays,
+        hash_fn="md5",
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR hashed-n-gram importance weights toward the doc_id%10==0
     target subset (the same trusted-head convention lm_perplexity
@@ -1500,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_frontier": _q_bloom_frontier,
         "boilerplate": _q_boilerplate,
         "dsir_weights": _q_dsir_weights,
+        "frontier_schedule": _q_frontier_schedule,
         # --- recorded green in r4 (and earlier) --------------------------
         "extract_pipeline": _q_extract_pipeline,
         "classify_counts": _q_classify_counts,
@@ -1528,9 +1574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "gopher_filter": _q_gopher_filter,
         "ivf_topk": _q_ivf_topk,
-        "topic_mix": _q_topic_mix,
         # --- tail: displaced past position 50 this round; every entry below
         # holds a green rows+schema+hash row in CORRECTNESS_r04.json -------
+        "topic_mix": _q_topic_mix,
         "merge_page_markers": _q_merge_page_markers,
         "status_stats": _q_status_stats,
         "cleanup_old": _q_cleanup_old,
@@ -3066,6 +3112,39 @@ def oracle_sql() -> dict[str, str]:
                    p.top_anchor, p.top_anchor_links
             FROM tot t
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) p USING (target)
+        """,
+        # -- Frontier politeness schedule: same planted frontier, same
+        #    md5-low-60 fetcher hash, same window (priority desc, url) —
+        #    the offset product is exact because the planted delays are
+        #    binary fractions (0.5 / 2.0 / default 1.0).
+        "frontier_schedule": f"""
+            WITH f AS (
+                SELECT 'https://' || host || '/d/' || doc_id AS url,
+                       host,
+                       doc_id % 97 AS priority
+                FROM (SELECT doc_id,
+                             CASE doc_id % 5
+                               WHEN 0 THEN 'docs.example.com'
+                               WHEN 1 THEN 'sub.spam.example.net'
+                               WHEN 2 THEN 'spam.example.net'
+                               WHEN 3 THEN 'notspam.example.net'
+                               ELSE 'ads.example.org' END AS host
+                      FROM documents)),
+            delays(host, delay_sec) AS (VALUES
+                {", ".join(f"('{h}', {d!r})" for h, d in _FETCH_DELAYS)}),
+            r AS (
+                SELECT url, host, priority,
+                       row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY priority DESC, url) AS fetch_rank
+                FROM f)
+            SELECT r.url, r.host, r.priority,
+                   (('0x' || substr(md5(r.host), 1, 15))::BIGINT % 8)::INT
+                       AS fetcher,
+                   r.fetch_rank,
+                   ((r.fetch_rank - 1) *
+                    COALESCE(d.delay_sec, 1.0))::DOUBLE AS fetch_offset_sec
+            FROM r LEFT JOIN delays d ON d.host = r.host
         """,
         # -- Bloom frontier, affine variant: the oracle replays the SAME
         #    k affine bit positions (one md5 -> (a*h0+b) mod p mod m) but

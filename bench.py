@@ -83,6 +83,7 @@ HEADLINE = [
     "bloom_frontier",
     "boilerplate",
     "dsir_weights",
+    "frontier_schedule",
     # host_pagerank and dedup_clusters are deliberately NOT headline rows:
     # both are iterative driver loops whose local wall is dominated by the
     # ~1 s/round job-scheduling floor (see BENCH/BASELINE.md §2), not by

@@ -25,9 +25,10 @@ DuckDB oracle replay bit construction AND probing exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import _affine_params, _MERSENNE31, _md5_low60
+from .webgraph import host_of_url_expr
 
 
 def _positions_expr(url_col: Column, m_bits: int, k: int, hash_fn: str) -> Column:
@@ -115,4 +116,69 @@ def frontier_probe(
         joined.groupBy("url")
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("_hits"))
         .select("url", (F.col("_hits") == k).alias("probably_seen"))
+    )
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    n_fetchers: int,
+    default_delay_sec: float = 1.0,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    delays: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Politeness-aware fetch schedule for a crawl frontier.
+
+    A polite crawler enforces a per-host delay between requests (robots
+    ``Crawl-delay`` or a default), which makes the HOST the unit of
+    scheduling: all of a host's urls must go to the SAME fetcher so one
+    worker can space its requests locally, with no cross-worker
+    coordination.  Reference behavior: the upstream service serializes
+    per-source fetches through one queue (gonova-document-parser
+    ``queue_manager.py``); this is the shared-nothing form of the same
+    politeness contract.
+
+    Spark-first shape: hosts hash-assign to fetchers (stateless — any
+    worker can recompute the map), and the within-host fetch order is
+    ONE ``row_number`` window partitioned by host (priority desc, url
+    tiebreak).  ``fetch_offset_sec = (rank-1) * delay`` is each url's
+    earliest-start offset inside its fetcher's lane.  The only shuffle
+    is the window's hash partition on host; the optional ``delays``
+    table (host, delay_sec — one row per throttled host, robots-derived)
+    broadcasts.  Skew note: a mega-host forms one big window partition,
+    but its output is a RANK, computable in O(n) per partition — and a
+    10^6-url host at any realistic delay is years of crawl budget, so
+    the cap belongs upstream (``domain_cap``) where it is enforced.
+
+    ``hash_fn='md5'`` makes the fetcher assignment DuckDB-replayable
+    (low-60-bit md5, the repo-wide hard-oracle convention);
+    ``xxhash64`` is the fast production default.  Keep delay values
+    exactly representable in binary (0.25, 0.5, 1.0, ...) so the
+    offset products are bit-identical across engines.
+    """
+    host = host_of_url_expr(url_col)
+    df = frontier.withColumn("host", host)
+    if hash_fn == "md5":
+        fetcher = (_md5_low60(F.col("host")) % F.lit(n_fetchers)).cast("int")
+    else:
+        fetcher = F.pmod(F.xxhash64(F.col("host")), F.lit(n_fetchers)).cast("int")
+    order = [F.col(url_col).asc()]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc()] + order
+    w = Window.partitionBy("host").orderBy(*order)
+    df = df.withColumn("fetch_rank", F.row_number().over(w))
+    if delays is not None:
+        df = df.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce(F.col("delay_sec"), F.lit(float(default_delay_sec)))
+    else:
+        delay = F.lit(float(default_delay_sec))
+    cols = [url_col, "host"]
+    if priority_col is not None:
+        cols.append(priority_col)
+    return df.select(
+        *cols,
+        fetcher.alias("fetcher"),
+        "fetch_rank",
+        ((F.col("fetch_rank") - 1) * delay).alias("fetch_offset_sec"),
     )

@@ -114,3 +114,68 @@ def test_probe_plan_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# politeness scheduler
+# ---------------------------------------------------------------------------
+
+def _frontier_df(spark):
+    rows = [
+        (f"https://site{i % 3}.exampleN.org/p{i:03d}", i % 11)
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "url string, priority bigint")
+
+
+def test_schedule_host_locality_and_ranks(spark):
+    """All of a host's urls land on ONE fetcher; ranks are a dense 1..n
+    permutation per host ordered by (priority desc, url)."""
+    from gonova_document_parser_spark.functions.frontier import schedule_frontier
+
+    out = schedule_frontier(
+        _frontier_df(spark), n_fetchers=4, priority_col="priority"
+    ).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host) == 3
+    for host, rows in by_host.items():
+        assert len({r.fetcher for r in rows}) == 1, host
+        ranks = sorted(r.fetch_rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), host
+        ordered = sorted(rows, key=lambda r: (-r.priority, r.url))
+        assert [r.fetch_rank for r in ordered] == ranks, host
+
+
+def test_schedule_offsets_respect_per_host_delay(spark):
+    """Planted delay for one host; default elsewhere — consecutive
+    fetches inside a host are spaced exactly delay apart, starting 0."""
+    from gonova_document_parser_spark.functions.frontier import schedule_frontier
+
+    delays = _frontier_df(spark).sparkSession.createDataFrame(
+        [("site1.examplen.org", 2.0)], "host string, delay_sec double"
+    )
+    out = schedule_frontier(
+        _frontier_df(spark),
+        n_fetchers=4,
+        default_delay_sec=0.5,
+        priority_col="priority",
+        delays=delays,
+    ).collect()
+    for r in out:
+        step = 2.0 if r.host == "site1.examplen.org" else 0.5
+        assert r.fetch_offset_sec == (r.fetch_rank - 1) * step, r
+
+
+def test_schedule_md5_variant_matches_python_replica(spark):
+    """md5 fetcher assignment is the documented low-60-bit hash — the
+    same value a DuckDB oracle computes."""
+    from gonova_document_parser_spark.functions.frontier import schedule_frontier
+
+    out = schedule_frontier(
+        _frontier_df(spark), n_fetchers=8, hash_fn="md5"
+    ).collect()
+    for r in out:
+        expect = int(hashlib.md5(r.host.encode()).hexdigest()[:15], 16) % 8
+        assert r.fetcher == expect, r.host
