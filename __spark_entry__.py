@@ -337,9 +337,12 @@ def _q_quality_scores(spark, sf_dir):
 def _q_lang_id_counts(spark, sf_dir):
     # heavy per-row stopword filters over a compacted (1-task) scan:
     # fan_out parallelizes, no-op when the scan already has enough tasks
-    from gonova_document_parser_spark.plans.partitioning import fan_out
+    from gonova_document_parser_spark.plans.partitioning import (
+        EXPR_FANOUT_MIN_BYTES,
+        fan_out,
+    )
 
-    d = fan_out(_docs(spark, sf_dir))
+    d = fan_out(_docs(spark, sf_dir), min_bytes=EXPR_FANOUT_MIN_BYTES)
     return (
         d.select(F.col("lang").alias("lang_true"), lang_id_expr("text").alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")
@@ -389,9 +392,12 @@ def _q_bpe_token_stats(spark, sf_dir):
     """Per-language BPE-ish token budget (GPT-2-style pre-tokenizer regex,
     RE2-safe so DuckDB runs the identical pattern)."""
     from gonova_document_parser_spark.functions.textstats import bpe_token_count_expr
-    from gonova_document_parser_spark.plans.partitioning import fan_out
+    from gonova_document_parser_spark.plans.partitioning import (
+        EXPR_FANOUT_MIN_BYTES,
+        fan_out,
+    )
 
-    d = fan_out(_docs(spark, sf_dir))  # heavy per-row regex over 1-file scan
+    d = fan_out(_docs(spark, sf_dir), min_bytes=EXPR_FANOUT_MIN_BYTES)  # heavy per-row regex over 1-file scan
     return d.groupBy("lang").agg(
         F.sum(bpe_token_count_expr("text")).alias("total_bpe"),
         F.round(F.avg(bpe_token_count_expr("text")), 6).alias("avg_bpe"),
@@ -404,9 +410,12 @@ def _q_gopher_filter(spark, sf_dir):
     keep decision — every comparison is integer-count arithmetic, so the
     booleans are engine-exact."""
     from gonova_document_parser_spark.functions.textstats import gopher_flags
-    from gonova_document_parser_spark.plans.partitioning import fan_out
+    from gonova_document_parser_spark.plans.partitioning import (
+        EXPR_FANOUT_MIN_BYTES,
+        fan_out,
+    )
 
-    d = fan_out(_docs(spark, sf_dir))
+    d = fan_out(_docs(spark, sf_dir), min_bytes=EXPR_FANOUT_MIN_BYTES)
     f = gopher_flags("text")
     return d.select(
         "doc_id",
@@ -656,10 +665,13 @@ def _q_governance_filter(spark, sf_dir):
     identical pages and replays the same RE2 regexes and suffix
     matching in DuckDB."""
     from gonova_document_parser_spark.functions.governance import governance_flags
-    from gonova_document_parser_spark.plans.partitioning import fan_out
+    from gonova_document_parser_spark.plans.partitioning import (
+        EXPR_FANOUT_MIN_BYTES,
+        fan_out,
+    )
 
     # two big (?i) regexes per row over a 1-file compacted scan
-    d = fan_out(_docs(spark, sf_dir))
+    d = fan_out(_docs(spark, sf_dir), min_bytes=EXPR_FANOUT_MIN_BYTES)
     host = (
         F.when(F.col("doc_id") % 5 == 0, F.lit("docs.example.com"))
         .when(F.col("doc_id") % 5 == 1, F.lit("sub.spam.example.net"))
@@ -925,9 +937,12 @@ def _q_script_stats(spark, sf_dir):
     script, per-script codepoint counts, and the mixed-script spam flag,
     all from literal codepoint ranges both engines run verbatim."""
     from gonova_document_parser_spark.functions.textstats import script_stats
-    from gonova_document_parser_spark.plans.partitioning import fan_out
+    from gonova_document_parser_spark.plans.partitioning import (
+        EXPR_FANOUT_MIN_BYTES,
+        fan_out,
+    )
 
-    d = fan_out(_docs(spark, sf_dir))  # 5 regex counts/row over a 1-file scan
+    d = fan_out(_docs(spark, sf_dir), min_bytes=EXPR_FANOUT_MIN_BYTES)  # 5 regex counts/row over a 1-file scan
     suffix = (
         F.when(F.col("doc_id") % 9 == 1, F.lit(" привет мир данные корпус"))
         .when(F.col("doc_id") % 9 == 2, F.lit(" مرحبا بالعالم نص عربي"))

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.partitioning import fan_out
+from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
 from .textstats import normalized_text_expr, tokens_expr
 
 
@@ -37,16 +37,14 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingle_array_expr(text_col: str, n: int) -> "F.Column":
-    """array<string> of word n-gram shingles, in token order (no UDF).
-
-    n shifted O(k) slices zipped per DOC, not per shingle: the naive
-    per-position slice inside the lambda is O(k^2) per doc, and
-    element_at-in-lambda is interpreted (measured 3x slower still).
-    Element i (0-based) starts at token i, so array position doubles as
-    the shingle's token offset (``duplicated_spans`` relies on this).
-    """
-    toks = tokens_expr(text_col)
+def shingles_from_tokens(toks: "F.Column", n: int) -> "F.Column":
+    """array<string> of word n-gram shingles from a MATERIALIZED token
+    array column — callers project ``tokens_expr`` into a column first so
+    the split/lower/trim runs once per row instead of once per reference
+    (this expression refers to the token array 2n+1 times; inlining the
+    tokenizer here re-split the text ~7x per row for n=3 — the optimizer's
+    CollapseProject keeps a non-cheap multi-referenced alias materialized,
+    verified in plans/r06/*_after.txt)."""
     m = F.size(toks) - (n - 1)  # number of shingles
     shifted = [F.slice(toks, j + 1, m) for j in range(n)]
     zipped = F.arrays_zip(*shifted)
@@ -59,12 +57,27 @@ def shingle_array_expr(text_col: str, n: int) -> "F.Column":
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_array_expr(text_col: str, n: int) -> "F.Column":
+    """array<string> of word n-gram shingles, in token order (no UDF).
+
+    n shifted O(k) slices zipped per DOC, not per shingle: the naive
+    per-position slice inside the lambda is O(k^2) per doc, and
+    element_at-in-lambda is interpreted (measured 3x slower still).
+    Element i (0-based) starts at token i, so array position doubles as
+    the shingle's token offset (``duplicated_spans`` relies on this).
+    Prefer projecting ``tokens_expr`` into a column and calling
+    ``shingles_from_tokens`` on it (see that docstring).
+    """
+    return shingles_from_tokens(tokens_expr(text_col), n)
+
+
 def shingles(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
+    fan_min_bytes: int | None = EXPR_FANOUT_MIN_BYTES,
 ) -> DataFrame:
     """Word n-gram shingles per doc, via sequence/transform (no UDF).
 
@@ -72,13 +85,28 @@ def shingles(
     consumer's aggregate is duplicate-insensitive (``min`` in MinHash,
     ``collect_set`` in the Jaccard posting build); set-semantics consumers
     (pair intersection joins) need the default.
+
+    ``fan_min_bytes``: size threshold for the pre-explode spread (see
+    ``fan_out``).  Consumers whose first aggregation is a cheap codegen
+    hash-agg (minhash minima, counts) keep the default — below it the
+    single-task explode is cheaper than the exchange; consumers feeding
+    an OBJECT aggregate (the Jaccard ``collect_set`` posting build) pass
+    0 to always spread, because a single-task object-agg partial is the
+    measured bottleneck even at MBs of input.
     """
-    sh = shingle_array_expr(text_col, n)
     # fan_out BEFORE the explode: the expansion multiplies rows after the
     # scan, so a compacted small input (one scan task) would otherwise run
-    # the whole shingle build on one core
-    out = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(sh).alias("shingle")
+    # the whole shingle build on one core (size-adaptive: skipped below
+    # fan_min_bytes where the exchange costs more than it saves)
+    base = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=fan_min_bytes,
+    )
+    out = base.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
     return out.distinct() if distinct else out
 
@@ -103,22 +131,36 @@ def ngram_jaccard_pairs(
     (``minhash_lsh_candidates``), which has no such blowup.  Pass ``None``
     to disable (small-scale oracle verification only).
     """
-    # Plan shape: ONE groupBy(shingle) replaces the classic shingle
+    # Plan shape: ONE groupBy(shingle digest) replaces the classic shingle
     # self-join — the posting list (sorted id array) per shingle is built
     # once, the hot-shingle cap is a cheap size filter on it, and candidate
     # pairs are generated JVM-side inside the array (transform+slice), so
     # the shingle table is never shuffled twice nor joined against itself.
-    # No .cache(): the exploded shingle table is |docs| x |shingles/doc| —
-    # at corpus scale caching it spills; recomputing the narrow explode per
-    # consumer is cheaper than materializing it.  distinct=False: collect_set
-    # dedups per shingle during the (map-side partial) aggregation, so the
-    # separate dedup shuffle would be pure waste.
-    sh = shingles(df, id_col, text_col, n, distinct=False)
-    posting = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    # Round-6 optimizations (OPTIMIZATION_r06.md):
+    #   - the groupBy keys on unhex(md5(shingle)) — 16 bytes — instead of
+    #     the n-gram string (the line_dedup trick; grouping by the digest
+    #     IS grouping by the shingle, and only the id arrays are consumed
+    #     downstream, so output is unchanged while the one corpus-wide
+    #     shuffle moves fixed-width keys);
+    #   - fan_min_bytes=0: the posting build is an OBJECT aggregate
+    #     (collect_set) whose single-task partial is the measured
+    #     bottleneck when the adaptive fan_out skips (1.5 s -> 2.7 s), so
+    #     this one consumer always spreads;
+    #   - NO localCheckpoint: AQE's runtime stage reuse already serves
+    #     the three posting consumers from one computed exchange
+    #     (measured: checkpointing was ~0.3 s SLOWER — materialization
+    #     cost without saved work).
+    # distinct=False: collect_set dedups per shingle during the (map-side
+    # partial) aggregation, so a separate dedup shuffle would be waste.
+    sh = shingles(df, id_col, text_col, n, distinct=False, fan_min_bytes=0)
+    posting = (
+        sh.select(F.col(id_col), F.unhex(F.md5("shingle")).alias("_sd"))
+        .groupBy("_sd")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
     )
     if max_docs_per_shingle is not None:
         posting = posting.where(F.size("ids") <= max_docs_per_shingle)
+    posting = posting.select("ids")
     # per-doc shingle count AFTER the cap (denominator of Jaccard)
     sizes = (
         posting.select(F.explode("ids").alias(id_col))
@@ -452,9 +494,12 @@ def simhash64(
     else:
         h = F.xxhash64("tok")
     toks = (
-        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        fan_out(
+            df.select(F.col(id_col), F.col(text_col)),
+            min_bytes=EXPR_FANOUT_MIN_BYTES,
+        )
         .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-        .withColumn("h", h)
+        .select(F.col(id_col), h.alias("h"))
     )
     votes = [
         F.sum(
@@ -578,9 +623,14 @@ def connected_components(
         return labels
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
+    # checkpoint the raw pair list first: the symmetrizing union otherwise
+    # evaluates the (possibly expensive — e.g. the full Jaccard pipeline)
+    # pair lineage once per union branch (round 6)
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
+        eager=False
+    )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -590,19 +640,24 @@ def connected_components(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    # Round-6 round shape (guide §2.4): message-passing with a self-union
+    # instead of join + groupBy + second join — one equi-join (neighbor
+    # labels), one groupBy.  The old label rides the same aggregate as a
+    # conditional max over the (unique) self row, so the convergence
+    # witness costs no extra join; it stays a COUNT of changed labels
+    # (type-agnostic — string ids included, the round-4 invariant).
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-            .withColumnRenamed("dst", "nid")
+        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "lbl", F.lit(False).alias("_self")
         )
         upd = (
-            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-            .select(
-                "id",
-                F.col("lbl").alias("_old"),
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            msgs.union(
+                labels.select("id", "lbl", F.lit(True).alias("_self"))
+            )
+            .groupBy("id")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(F.when(F.col("_self"), F.col("lbl"))).alias("_old"),
             )
             .localCheckpoint(eager=False)
         )
@@ -839,9 +894,14 @@ def duplicated_spans(
     starts: covered = window + sum(min(window, gap)) over consecutive
     starts — no explode of covered positions).
     """
-    wins = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    wins = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(F.col(id_col), tokens_expr(text_col).alias("_toks")).select(
         F.col(id_col),
-        F.posexplode(shingle_array_expr(text_col, window)).alias("pos", "win"),
+        F.posexplode(shingles_from_tokens(F.col("_toks"), window)).alias(
+            "pos", "win"
+        ),
     ).select(id_col, "pos", F.md5("win").alias("wh"))
     dup = (
         wins.groupBy("wh")
@@ -916,9 +976,14 @@ def remove_duplicated_spans(
     ``filter`` over the token array against the sorted duplicate starts;
     O(n_tokens x n_dup_spans) per doc, no explode of covered positions).
     """
-    wins = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    wins = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(F.col(id_col), tokens_expr(text_col).alias("_toks")).select(
         F.col(id_col),
-        F.posexplode(shingle_array_expr(text_col, window)).alias("pos", "win"),
+        F.posexplode(shingles_from_tokens(F.col("_toks"), window)).alias(
+            "pos", "win"
+        ),
     ).select(id_col, "pos", F.md5("win").alias("wh"))
     firsts = (
         wins.groupBy("wh")

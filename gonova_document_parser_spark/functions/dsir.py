@@ -120,13 +120,76 @@ def importance_weights(
     Scoring joins the broadcast ratio table per feature occurrence and
     folds with one groupBy; unseen buckets fall back to the scalar
     default via coalesce, so the left join never drops a feature.
+
+    Round-6 shape (OPTIMIZATION_r06.md, guide §1.2/§2.3): ONE
+    tokenize+hash pass.  The previous composition via two
+    ``hashed_ngram_features`` tables and ``bucket_log_ratio`` evaluated
+    the feature stream FIVE times per run — the two total-count scalars
+    each forced a full feature job, and the final query recomputed the
+    target model, the raw model AND the scoring stream.  Now the
+    per-occurrence ``(id, is_target, bucket)`` stream is computed once
+    and ``localCheckpoint``-ed (recomputed from parquet on every
+    invocation — nothing persists across runs); the totals ride one tiny
+    aggregate over it; and the two Laplace models collapse into ONE
+    ``groupBy(bucket)`` with a conditional target sum (the target rows
+    are a subset of the raw rows, so the raw bucket set IS the
+    full-outer-merged bucket set of the two-table form, and a bucket
+    never seen in the target gets ct=0 — exactly the old
+    ``coalesce(ct, 0)``).  Scoring still folds the PER-OCCURRENCE rows
+    (not per-bucket counts), so the float summation stream the 4dp
+    cross-engine contract depends on is unchanged.
     """
-    feats = hashed_ngram_features(docs, n_buckets, id_col, text_col, hash_fn)
-    target_feats = hashed_ngram_features(
-        docs.where(target_filter), n_buckets, id_col, text_col, hash_fn
+    from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
+
+    base = fan_out(
+        docs.select(
+            F.col(id_col), target_filter.alias("_t"), F.col(text_col)
+        ),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(
+        # materialize the token array once: the feature expression below
+        # references it five times (shingles_from_tokens rationale)
+        F.col(id_col), F.col("_t"), _clean_tokens(text_col).alias("_ws")
     )
-    ratio, default = bucket_log_ratio(target_feats, feats, n_buckets, alpha)
-    scored = feats.join(F.broadcast(ratio), "bucket", "left")
+    ws = F.col("_ws")
+    tail = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        tail,
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    occ = base.select(
+        F.col(id_col), F.col("_t"), F.explode(F.concat(ws, bigrams)).alias("feature")
+    )
+    if hash_fn == "affine":
+        bucket = _md5_low60(F.col("feature")) % F.lit(n_buckets)
+    else:
+        bucket = F.pmod(F.xxhash64("feature"), F.lit(n_buckets))
+    occ = occ.select(id_col, "_t", bucket.alias("bucket")).localCheckpoint(
+        eager=True
+    )
+    row = occ.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("nt"),
+    ).first()
+    n_r, n_t = int(row["nr"] or 0), int(row["nt"] or 0)
+    denom_t, denom_r = n_t + alpha * n_buckets, n_r + alpha * n_buckets
+    ratio = (
+        occ.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + alpha) / denom_t)
+                - F.log((F.col("cr") + alpha) / denom_r)
+            ).alias("log_ratio"),
+        )
+    )
+    default = math.log(alpha / denom_t) - math.log(alpha / denom_r)
+    scored = occ.join(F.broadcast(ratio), "bucket", "left")
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_feats"),
         F.sum(F.coalesce(F.col("log_ratio"), F.lit(default))).alias("logw"),

@@ -86,6 +86,7 @@ def frontier_probe(
     k: int = 5,
     url_col: str = "url",
     hash_fn: str = "xxhash64",
+    broadcast_bits: bool = True,
 ) -> DataFrame:
     """Probe: candidates + ``probably_seen`` (true iff all k bits set).
 
@@ -95,6 +96,14 @@ def frontier_probe(
     join the word table, and fold back with ONE groupBy on the url —
     hits counted with a null-safe conditional sum, so an absent word row
     (left join miss) is an unset bit, not a dropped candidate.
+
+    ``broadcast_bits=False`` is the at-scale fallback for filters beyond
+    the broadcast budget (the module's own sizing math puts a 10^10-url
+    filter at ~12 GB — over Spark's 8 GB broadcast-relation cap): a
+    plain shuffle equi-join on ``word_idx`` (a tiny int64 key), same
+    output (path agreement pinned in tests, the
+    ``rare_word_stats(broadcast_hot=)`` pattern).  Keep the default up
+    to a few hundred MB of filter words.
     """
     c = F.col(url_col)
     probes = candidates.select(
@@ -107,7 +116,8 @@ def frontier_probe(
             "_mask"
         ),
     )
-    joined = probes.join(F.broadcast(bloom_bits), "word_idx", "left")
+    bits_side = F.broadcast(bloom_bits) if broadcast_bits else bloom_bits
+    joined = probes.join(bits_side, "word_idx", "left")
     hit = (
         F.col("bits").isNotNull()
         & (F.col("bits").bitwiseAND(F.col("_mask")) != 0)

@@ -25,14 +25,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.partitioning import fan_out
+from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
 
 
 def line_doc_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(line, n_docs) for every distinct non-empty line in the corpus."""
-    lines = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    lines = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\r?\n", -1)).alias("line"),
     )
@@ -63,7 +66,10 @@ def line_dedup(
     are small even at web scale); set False to fall back to a shuffle join
     if a pathological corpus produces a huge hot set.
     """
-    lines = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    lines = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\r?\n", -1)).alias("pos", "line"),
     )

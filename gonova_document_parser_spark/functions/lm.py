@@ -46,13 +46,18 @@ def doc_bigrams(
     token array against its own tail — so there is no per-token window
     or self-join; docs with <2 tokens contribute no rows.
     """
-    ws = _clean_tokens(text_col)
+    ws = F.col("_ws")
     pairs = F.arrays_zip(
         F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
         F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
     )
-    return docs.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
-        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    # materialize the token array once — the zip expression references it
+    # five times, and without the projection each reference re-runs
+    # split+filter on the text (shingles_from_tokens rationale, round 6)
+    return (
+        docs.select(F.col(id_col), _clean_tokens(text_col).alias("_ws"))
+        .select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     )
 
 
@@ -68,7 +73,16 @@ def train_bigram_lm(
     toks = train.select(
         F.explode(_clean_tokens(text_col)).alias("w")
     )
-    unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint the unigram table BEFORE the scalar aggregate: the
+    # scalars job materializes it, so the two broadcast builds in
+    # lm_score (w1 denominator + w2 floor) read the materialized counts
+    # instead of each re-running the train-subset explode+groupBy
+    # (round 6; recomputed per invocation, nothing persists across runs)
+    unigrams = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     bigrams = doc_bigrams(train, id_col, text_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
@@ -87,6 +101,7 @@ def lm_score(
     lam: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-doc average negative log-probability (lower = more fluent).
 
@@ -98,14 +113,22 @@ def lm_score(
     on w1 for the ML denominator, unigram on w2 for the smoothed floor),
     then ONE groupBy on the doc key.  The scored corpus never shuffles
     except by that key.
+
+    ``broadcast_model=False`` is the at-scale fallback the module header
+    promises (CCNet's models are a few GB — beyond the 8 GB broadcast
+    ceiling and any sane driver heap): plain shuffle equi-joins on the
+    token keys, same output (path agreement pinned in tests, the
+    ``rare_word_stats(broadcast_hot=)`` pattern).  Keep the default for
+    models up to a few hundred MB.
     """
     bg = doc_bigrams(docs, id_col, text_col)
     uni1 = unigrams.select(F.col("w").alias("_u1"), F.col("c").alias("c1"))
     uni2 = unigrams.select(F.col("w").alias("_u2"), F.col("c").alias("c2"))
+    side = F.broadcast if broadcast_model else (lambda d: d)
     joined = (
-        bg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(uni1), F.col("w1") == F.col("_u1"), "left")
-        .join(F.broadcast(uni2), F.col("w2") == F.col("_u2"), "left")
+        bg.join(side(bigrams), ["w1", "w2"], "left")
+        .join(side(uni1), F.col("w1") == F.col("_u1"), "left")
+        .join(side(uni2), F.col("w2") == F.col("_u2"), "left")
     )
     p_ml = F.when(
         F.col("c12").isNotNull(),
@@ -130,13 +153,18 @@ def lm_perplexity_scores(
     lam: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Train on ``docs.where(train_filter)``, score ALL docs.
 
     The CCNet head-trains-scores-everything composition in one call; the
-    train subset plays the trusted reference corpus.
+    train subset plays the trusted reference corpus.  ``broadcast_model``
+    passes through to :func:`lm_score` (False = shuffle-join fallback for
+    models beyond the broadcast budget).
     """
     unigrams, bigrams, n, v = train_bigram_lm(
         docs.where(train_filter), id_col, text_col
     )
-    return lm_score(docs, unigrams, bigrams, n, v, lam, id_col, text_col)
+    return lm_score(
+        docs, unigrams, bigrams, n, v, lam, id_col, text_col, broadcast_model
+    )

@@ -43,9 +43,14 @@ def parse_robots_txt(body: str, host: str) -> list[dict]:
     ``User-agent:`` line starts a NEW group.  Directives are
     case-insensitive; ``#`` starts a comment; unknown directives
     (Sitemap, Crawl-delay, ...) never break a group per the RFC.  An
-    empty-pattern ``Disallow:`` means "allow everything" and emits no
-    rule (the evaluator's no-match default is allowed).  Rules appearing
-    before any User-agent line are invalid and dropped.
+    empty-pattern ``Disallow:`` means "allow everything"; it emits a
+    GROUP-PRESENCE SENTINEL row (allow=True, pattern='') — without it a
+    specific agent group containing only ``Disallow:`` (the standard
+    whitelist-this-bot pattern) would vanish and ``select_agent_group``
+    would wrongly fall back to the ``*`` group, violating §2.2.1
+    shadowing (ADVICE r5).  The evaluator treats the empty pattern as
+    no-match, so the sentinel never wins a longest-match.  Rules
+    appearing before any User-agent line are invalid and dropped.
     """
     rules: list[dict] = []
     agents: list[str] = []
@@ -65,14 +70,15 @@ def parse_robots_txt(body: str, host: str) -> list[dict]:
                 agents.append(val.lower())
         elif key in ("allow", "disallow"):
             in_rules = True
-            if not val or not agents:
+            if not agents:
                 continue
             for a in agents:
                 rules.append(
                     {
                         "host": host.lower(),
                         "agent": a,
-                        "allow": key == "allow",
+                        # empty pattern -> group-presence sentinel (see above)
+                        "allow": True if not val else key == "allow",
                         "pattern": val,
                     }
                 )
@@ -208,7 +214,11 @@ def robots_verdict(
         F.broadcast(per_host), F.col("_host") == F.col("_r_host"), "left"
     )
     matched = F.filter(
-        F.col("_rules"), lambda r: F.regexp_like(F.col("_path"), r["rx"])
+        # len > 0: an empty pattern is a group-presence sentinel (empty
+        # Disallow), never a match — checked BEFORE the regex so the
+        # sentinel's '^' (match-anything) compile can't fire
+        F.col("_rules"),
+        lambda r: (r["len"] > 0) & F.regexp_like(F.col("_path"), r["rx"]),
     )
     best = F.array_max(
         F.transform(

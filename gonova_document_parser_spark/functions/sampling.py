@@ -245,12 +245,49 @@ def pack_sequences(
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
     counter = count_expr if count_expr is not None else token_count_expr(text_col)
-    ranged = (
-        df.select(F.col(id_col), counter.alias("n_tokens"))
-        .repartitionByRange(n, F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    narrow = df.select(F.col(id_col), counter.alias("n_tokens"))
+    # Round-6: the range buckets come from the id min/max (one aggregate
+    # job that column-prunes to the id alone) instead of
+    # ``repartitionByRange`` — that operator pays a separate SAMPLING pass
+    # over the input plus a physical shuffle just to learn cut points,
+    # and its assignment is only stable because of the checkpoint.  A
+    # ``floor((id - lo) / width)`` bucket is a PURE function of the id:
+    # monotone in id (so per-bucket prefix sums compose exactly as
+    # before), identical across retries/jobs by construction, and needs
+    # no physical repartition at all — the per-bucket sums groupBy and
+    # the final window provide their own (tiny, AQE-coalesced)
+    # exchanges.  Output is byte-identical: start_offset depends only on
+    # the id ORDER, not on where bucket boundaries fall.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        lohi = narrow.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).first()
+        if lohi["lo"] is None:
+            pid = F.lit(0)
+        else:
+            # bucket in DOUBLE space: ids may span the whole int64 range
+            # (curate_job keys on xxhash64(url)), so (id - lo) overflows
+            # BIGINT; the double mapping is monotone non-decreasing in id
+            # — all the prefix sum needs — and boundary rounding merely
+            # moves a row between adjacent buckets, never reorders ids
+            span = float(int(lohi["hi"]) - int(lohi["lo"])) + 1.0
+            width = max(1.0, span / n)
+            pid = F.floor(
+                (F.col(id_col).cast("double") - float(lohi["lo"])) / width
+            )
+        ranged = narrow.withColumn("_pid", pid.cast("int")).localCheckpoint(
+            eager=False
+        )
+    else:
+        # non-numeric ids: keep the sampled range partitioning (the
+        # checkpoint pins the otherwise-unstable partition assignment)
+        ranged = (
+            narrow.repartitionByRange(n, F.col(id_col))
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
     sums = {
         r["_pid"]: r["s"]
         for r in ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()

@@ -248,9 +248,12 @@ def rare_word_stats(
     """
     from pyspark.sql import functions as F
 
-    from ..plans.partitioning import fan_out
+    from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
 
-    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = fan_out(
+        df.select(F.col(id_col), F.col(text_col)),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     )
     hot = (

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.partitioning import fan_out
+from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
 
 _HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
 _SCALE = 1_000_000
@@ -52,7 +52,10 @@ def outlink_host_graph(
     strings, so the shuffle carries edges, not pages.
     """
     src = host_of_url_expr(url_col)
-    pages = fan_out(df.select(F.col(url_col), F.col(html_col))).select(
+    pages = fan_out(
+        df.select(F.col(url_col), F.col(html_col)),
+        min_bytes=EXPR_FANOUT_MIN_BYTES,
+    ).select(
         src.alias("src_host"),
         F.explode(
             F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
@@ -86,17 +89,22 @@ def pagerank_hosts(
     W(u) is u's total out-weight and BASE = (100-damping_pct)% of SCALE.
     """
     base = (100 - damping_pct) * _SCALE // 100
+    # ONE materialization of the edge list: nodes and the weighted edge
+    # table previously each pulled the full upstream lineage (for
+    # host_pagerank that lineage is the page render + href regex over the
+    # whole corpus — two redundant passes, round 6).  Everything below
+    # derives from this checkpoint; recomputed per invocation.
+    ed = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col(src).alias("host"))
-        .union(edges.select(F.col(dst).alias("host")))
+        ed.select(F.col("e_src").alias("host"))
+        .union(ed.select(F.col("e_dst").alias("host")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("w")
-    )
-    outw = e.groupBy("e_src").agg(F.sum("w").alias("wsum"))
-    e = e.join(outw, "e_src").localCheckpoint(eager=False)
+    outw = ed.groupBy("e_src").agg(F.sum("w").alias("wsum"))
+    e = ed.join(outw, "e_src").localCheckpoint(eager=False)
     ranks = nodes.select("host", F.lit(_SCALE).cast("bigint").alias("r"))
     for _ in range(iters):
         contrib = (

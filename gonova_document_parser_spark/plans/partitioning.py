@@ -20,8 +20,17 @@ Policy:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Threshold below which fan_out skips the repartition for pure-JVM
+# expression expansions (see fan_out docstring).  ~2 MB of estimated
+# input is the measured local breakeven; a real corpus scan is TBs.
+EXPR_FANOUT_MIN_BYTES = int(
+    os.environ.get("GONOVA_FANOUT_MIN_BYTES", str(2 * 1024 * 1024))
+)
 
 
 def host_of(url_col="url"):
@@ -55,7 +64,11 @@ def plan_extraction_partitions(
     return spread_by_url(df, min(waves * default_parallelism, max_partitions))
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int | None = None,
+) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: defaultParallelism)
     before a per-row EXPANSION operator (explode, shingle, tokenize).
 
@@ -64,8 +77,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     round-robin shuffle of the small pre-expansion rows.  No-op when the
     plan already has enough partitions (the 100 TB case — scans there carry
     thousands of tasks), so it is safe to apply unconditionally.
+
+    ``min_bytes`` makes the spread SIZE-adaptive (optimization round 6):
+    when the optimizer's estimated input size is below the threshold the
+    repartition is skipped even if the scan is a single task — for pure-JVM
+    expression expansions over a couple of MB, the exchange (which pays a
+    local sort before round-robin, SPARK-23207) plus an extra 32-task stage
+    costs ~0.3-0.5 s while the single-task compute is cheaper than that
+    (measured, OPTIMIZATION_r06.md).  The estimate comes from plan
+    statistics (driver-side, no job), so the decision scales with the
+    input: a 100 TB scan is always far above any threshold and behaves
+    exactly as before.  Callers whose per-row work is Python/Arrow (orders
+    of magnitude above JVM expressions per byte) keep ``min_bytes=None`` —
+    they need the spread even for tiny inputs.  ``EXPR_FANOUT_MIN_BYTES``
+    is the shared default for JVM-expression call sites, tunable via
+    ``GONOVA_FANOUT_MIN_BYTES`` (set 0 to restore unconditional spreading).
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if min_bytes is not None and min_bytes > 0:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if est < min_bytes:
+            return df
     return df.repartition(want) if df.rdd.getNumPartitions() < want else df
 
 

@@ -179,3 +179,27 @@ def test_schedule_md5_variant_matches_python_replica(spark):
     for r in out:
         expect = int(hashlib.md5(r.host.encode()).hexdigest()[:15], 16) % 8
         assert r.fetcher == expect, r.host
+
+
+def test_probe_shuffle_join_fallback_matches_broadcast(spark):
+    """VERDICT r5 #2: broadcast_bits=False (the at-scale path for filters
+    beyond the 8 GB broadcast ceiling) must return the identical verdict
+    set via a plain word_idx equi-join — the rare_word_stats path-
+    agreement pattern."""
+    bits = url_bloom_bits(_df(spark, SEEN), M_BITS, K, hash_fn="affine")
+    cands = _df(spark, SEEN[::3] + NEW[::2])
+    via_bc = {
+        (r["url"], r["probably_seen"])
+        for r in frontier_probe(cands, bits, M_BITS, K, hash_fn="affine").collect()
+    }
+    via_shuffle = {
+        (r["url"], r["probably_seen"])
+        for r in frontier_probe(
+            cands, bits, M_BITS, K, hash_fn="affine", broadcast_bits=False
+        ).collect()
+    }
+    assert via_bc == via_shuffle and len(via_bc) > 0
+    plan = frontier_probe(
+        cands, bits, M_BITS, K, hash_fn="affine", broadcast_bits=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan

@@ -44,14 +44,42 @@ def test_parse_groups_stacking_and_case():
         (False, "/fish*.html"),
         (False, "/exact$"),
     ]
-    # stacked UA lines: both agents get the group's rules; empty-pattern
-    # Allow emits nothing; Crawl-delay does not break the group
+    # stacked UA lines: both agents get the group's rules; an
+    # empty-pattern directive emits the group-presence SENTINEL
+    # (allow=True, pattern='') so §2.2.1 shadowing survives (ADVICE r5);
+    # Crawl-delay does not break the group
     for agent in ("gonovabot", "otherbot"):
         assert [(r["allow"], r["pattern"]) for r in rules if r["agent"] == agent] == [
-            (False, "/bot-only/")
+            (False, "/bot-only/"),
+            (True, ""),
         ]
-    # empty-pattern Disallow = allow all = no rule
-    assert not [r for r in rules if r["agent"] == "emptybot"]
+    # empty-pattern Disallow = allow all = sentinel row only
+    assert [(r["allow"], r["pattern"]) for r in rules if r["agent"] == "emptybot"] == [
+        (True, "")
+    ]
+
+
+def test_whitelisted_bot_group_shadows_star(spark):
+    """ADVICE r5 (medium): 'User-agent: gonovabot / Disallow:' followed by
+    'User-agent: * / Disallow: /' must yield allowed=True for gonovabot —
+    the empty-pattern group exists and shadows the * group entirely."""
+    body = "User-agent: gonovabot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    rules = spark.createDataFrame(
+        [
+            (r["host"], r["agent"], r["allow"], r["pattern"])
+            for r in parse_robots_txt(body, "w.example.org")
+        ],
+        "host string, agent string, allow boolean, pattern string",
+    )
+    pages = spark.createDataFrame(
+        [("https://w.example.org/anything",)], "url string"
+    )
+    out = robots_verdict(pages, rules, crawler="gonovabot").collect()
+    assert out[0]["allowed"] is True
+    assert out[0]["matched_pattern"] is None  # sentinel never matches
+    # and the * group still blocks everyone else
+    other = robots_verdict(pages, rules, crawler="somebot").collect()
+    assert other[0]["allowed"] is False
 
 
 def test_parse_rules_before_any_agent_are_dropped():
@@ -93,7 +121,9 @@ def test_agent_group_shadowing(spark, rules_df):
     # gonovabot has its own group on example.org -> '*' rules are invisible
     grp = select_agent_group(rules_df, "GonovaBot")
     ex = [(r["allow"], r["pattern"]) for r in grp.where(F.col("host") == "example.org").collect()]
-    assert ex == [(False, "/bot-only/")]
+    # the empty-pattern Allow in the group now yields the presence
+    # sentinel (True, '') alongside the real rule (ADVICE r5 fix)
+    assert ex == [(False, "/bot-only/"), (True, "")]
     # open.example has no gonovabot group -> falls back to '*'
     assert [
         (r["allow"], r["pattern"])
