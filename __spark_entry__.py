@@ -336,13 +336,14 @@ def _q_quality_scores(spark, sf_dir):
 
 def _q_lang_id_counts(spark, sf_dir):
     # heavy per-row stopword filters over a compacted (1-task) scan:
-    # fan_out parallelizes, no-op when the scan already has enough tasks
-    from gonova_document_parser_spark.plans.partitioning import (
-        EXPR_FANOUT_MIN_BYTES,
-        fan_out,
-    )
+    # fan_out parallelizes, no-op when the scan already has enough tasks.
+    # UNCONDITIONAL spread (no min_bytes): lang_id_expr runs four
+    # higher-order stopword filters per row — interpreted, not codegen —
+    # so even a 1.5 MB input is cheaper to shuffle than to score on one
+    # task (measured 0.53 s spread vs 0.91 s single-task, round 6)
+    from gonova_document_parser_spark.plans.partitioning import fan_out
 
-    d = fan_out(_docs(spark, sf_dir), min_bytes=EXPR_FANOUT_MIN_BYTES)
+    d = fan_out(_docs(spark, sf_dir))
     return (
         d.select(F.col("lang").alias("lang_true"), lang_id_expr("text").alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")
@@ -1527,70 +1528,20 @@ def _q_media_frames(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS snapshot records exactly the
     # FIRST 50 entries of this dict (observed r3: 57 registered -> first 50
-    # recorded; r4: 65 -> same first 50).  Round 5 therefore places in the
-    # head the 22 queries with no driver row yet: the 15 unrecorded through
-    # r4 (sample_mix .. top_ngrams) plus the 7 brand-new round-5 queries
-    # (semantic_dedup .. dsir_weights).  Every entry displaced past position
-    # 50 holds a green rows+schema+hash row in CORRECTNESS_r04.json, so the
-    # r4 union r5 snapshots cover all 72 queries.  Proven-green history:
-    #   r1/r2: extract_pipeline .. line_dedup block; r3: dedup_clusters,
-    #   contamination, media_*, ivf_topk; r4: topic_mix, incr-family et al.
+    # recorded; r4: 65 -> same; r5: 73 -> same), and the registry holds 73
+    # queries, so per-round snapshots cannot cover everything — the STANDING
+    # ROTATION RULE (VERDICT r5 #5): each round, the longest-stale entries
+    # (newest green row oldest) move into the head and the freshest-recorded
+    # entries absorb the displacement, keeping every query's newest green
+    # row at most ~2 rounds old.  Round 6 therefore heads the 23 entries
+    # whose newest row is CORRECTNESS_r04 (topic_mix .. contamination — all
+    # displaced in r5), followed by 27 of the 50 recorded green in
+    # CORRECTNESS_r05; the 23 entries displaced past position 50 below ALL
+    # hold green rows+schema+hash rows in CORRECTNESS_r05.json, so the
+    # r5 union r6 snapshots again cover all 73 queries with no row older
+    # than one round.
     return {
-        # --- head: driver-unrecorded through r4 (need r5 rows) -----------
-        "sample_mix": _q_sample_mix,
-        "hash_split": _q_hash_split,
-        "governance_filter": _q_governance_filter,
-        "incr_dedup": _q_incr_dedup,
-        "script_stats": _q_script_stats,
-        "rare_words": _q_rare_words,
-        "crawl_diff": _q_crawl_diff,
-        "seq_pack": _q_seq_pack,
-        "latest_snapshot": _q_latest_snapshot,
-        "dup_spans": _q_dup_spans,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "host_graph": _q_host_graph,
-        "host_pagerank": _q_host_pagerank,
-        "domain_cap": _q_domain_cap,
-        "top_ngrams": _q_top_ngrams,
-        # --- head: new in round 5 (no prior round to have recorded them) --
-        "semantic_dedup": _q_semantic_dedup,
-        "robots_filter": _q_robots_filter,
-        "lm_perplexity": _q_lm_perplexity,
-        "anchor_texts": _q_anchor_texts,
-        "bloom_frontier": _q_bloom_frontier,
-        "boilerplate": _q_boilerplate,
-        "dsir_weights": _q_dsir_weights,
-        "frontier_schedule": _q_frontier_schedule,
-        # --- recorded green in r4 (and earlier) --------------------------
-        "extract_pipeline": _q_extract_pipeline,
-        "classify_counts": _q_classify_counts,
-        "native_ratio": _q_native_ratio,
-        "route_breakdown": _q_route_breakdown,
-        "recent_jobs_topk": _q_recent_jobs_topk,
-        "ordered_merge": _q_ordered_merge,
-        "events_hourly": _q_events_hourly,
-        "top_users_by_value": _q_top_users_by_value,
-        "pricing_summary": _q_pricing_summary,
-        "nation_revenue": _q_nation_revenue,
-        "shipping_priority": _q_shipping_priority,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "minhash_lsh_verified": _q_minhash_lsh_verified,
-        "simhash": _q_simhash,
-        "token_count_stats": _q_token_count_stats,
-        "quality_scores": _q_quality_scores,
-        "lang_id_counts": _q_lang_id_counts,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "salted_counts": _q_salted_counts,
-        "emb_topk_cosine": _q_emb_topk_cosine,
-        "ann_topk_lsh": _q_ann_topk_lsh,
-        "emb_neardups_lsh": _q_emb_neardups_lsh,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "gopher_filter": _q_gopher_filter,
-        "ivf_topk": _q_ivf_topk,
-        # --- tail: displaced past position 50 this round; every entry below
-        # holds a green rows+schema+hash row in CORRECTNESS_r04.json -------
+        # --- head: newest green row is r4 (rotated in this round) --------
         "topic_mix": _q_topic_mix,
         "merge_page_markers": _q_merge_page_markers,
         "status_stats": _q_status_stats,
@@ -1614,6 +1565,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "contamination": _q_contamination,
+        # --- head: recorded green in r5, kept inside the window ----------
+        "sample_mix": _q_sample_mix,
+        "hash_split": _q_hash_split,
+        "governance_filter": _q_governance_filter,
+        "incr_dedup": _q_incr_dedup,
+        "script_stats": _q_script_stats,
+        "rare_words": _q_rare_words,
+        "crawl_diff": _q_crawl_diff,
+        "seq_pack": _q_seq_pack,
+        "latest_snapshot": _q_latest_snapshot,
+        "dup_spans": _q_dup_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
+        "domain_cap": _q_domain_cap,
+        "top_ngrams": _q_top_ngrams,
+        "semantic_dedup": _q_semantic_dedup,
+        "robots_filter": _q_robots_filter,
+        "lm_perplexity": _q_lm_perplexity,
+        "anchor_texts": _q_anchor_texts,
+        "bloom_frontier": _q_bloom_frontier,
+        "boilerplate": _q_boilerplate,
+        "dsir_weights": _q_dsir_weights,
+        "frontier_schedule": _q_frontier_schedule,
+        "extract_pipeline": _q_extract_pipeline,
+        "classify_counts": _q_classify_counts,
+        "native_ratio": _q_native_ratio,
+        "route_breakdown": _q_route_breakdown,
+        # --- tail: displaced past position 50 this round; every entry below
+        # holds a green rows+schema+hash row in CORRECTNESS_r05.json -------
+        "recent_jobs_topk": _q_recent_jobs_topk,
+        "ordered_merge": _q_ordered_merge,
+        "events_hourly": _q_events_hourly,
+        "top_users_by_value": _q_top_users_by_value,
+        "pricing_summary": _q_pricing_summary,
+        "nation_revenue": _q_nation_revenue,
+        "shipping_priority": _q_shipping_priority,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_lsh_verified": _q_minhash_lsh_verified,
+        "simhash": _q_simhash,
+        "token_count_stats": _q_token_count_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id_counts": _q_lang_id_counts,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "salted_counts": _q_salted_counts,
+        "emb_topk_cosine": _q_emb_topk_cosine,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "emb_neardups_lsh": _q_emb_neardups_lsh,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "gopher_filter": _q_gopher_filter,
+        "ivf_topk": _q_ivf_topk,
     }
 
 

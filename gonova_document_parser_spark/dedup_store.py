@@ -104,6 +104,53 @@ def load_store_bands(
     return spark.read.parquet(*dirs)
 
 
+def _params_path(store_path: str) -> str:
+    return f"{store_path}/_params.json"
+
+
+def read_store_params(spark: SparkSession, store_path: str) -> dict | None:
+    """The store's pinned parameterization, or None for a fresh store."""
+    fs, p = _fs_and_path(spark, _params_path(store_path))
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        import json
+
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return json.loads(raw)
+    finally:
+        stream.close()
+
+
+def _pin_store_params(spark: SparkSession, store_path: str, params: dict) -> None:
+    """Persist (hash_fn, n, num_hashes, bands) at first use and validate on
+    every later invocation (ADVICE r5): the band_hash dtype check below
+    catches xxhash64<->md5 mixing but NOT md5<->affine (both STRING) nor a
+    changed n/num_hashes/bands — any of which silently dedups nothing
+    against prior deltas while still appending bands, corrupting the
+    one-representative-per-class contract.  The sidecar makes every
+    mismatch loud."""
+    existing = read_store_params(spark, store_path)
+    if existing is None:
+        import json
+
+        fs, p = _fs_and_path(spark, _params_path(store_path))
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+        finally:
+            out.close()
+        return
+    if existing != params:
+        raise ValueError(
+            f"store at {store_path} is pinned to {existing} but this run "
+            f"passed {params} — band hashes are only comparable within one "
+            "parameterization; use the store's original parameters or "
+            "start a new store"
+        )
+
+
 def delta_snapshot_id(docs: DataFrame, id_col: str, text_col: str):
     """(snap, n_rows): content digest of the delta.  Stable across retries
     of the same input, distinct for different content; the joint-hash SUM
@@ -148,6 +195,11 @@ def run_delta_dedup(
     parameterization (the affine family stores STRING hashes, xxhash64
     stores BIGINT: mixing them would not even union).
     """
+    _pin_store_params(
+        spark,
+        store_path,
+        {"hash_fn": hash_fn, "n": n, "num_hashes": num_hashes, "bands": bands},
+    )
     snap, n_delta = delta_snapshot_id(docs, id_col, text_col)
     verdict_dir = f"{store_path}/verdicts/delta={snap}"
     bands_dir = f"{store_path}/bands/delta={snap}"

@@ -508,11 +508,20 @@ def simhash64(
         for i in range(n_bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    packed = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        packed = bit if packed is None else packed.bitwiseOR(bit)
-    return agg.select(F.col(id_col), packed.alias("simhash"))
+    # BALANCED bitwise-OR fold (depth ~log2(n_bits), was a 63-deep
+    # left-nested chain): Catalyst re-walks nested expression trees per
+    # optimizer rule, so tree DEPTH is driver-side planning cost on every
+    # invocation — measured ~0.25 s/query locally, same bits out
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    while len(bits) > 1:
+        bits = [
+            bits[k].bitwiseOR(bits[k + 1]) if k + 1 < len(bits) else bits[k]
+            for k in range(0, len(bits), 2)
+        ]
+    return agg.select(F.col(id_col), bits[0].alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -646,23 +655,39 @@ def connected_components(
     # conditional max over the (unique) self row, so the convergence
     # witness costs no extra join; it stays a COUNT of changed labels
     # (type-agnostic — string ids included, the round-4 invariant).
-    for _ in range(max_iter):
-        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "lbl", F.lit(False).alias("_self")
-        )
-        upd = (
-            msgs.union(
-                labels.select("id", "lbl", F.lit(True).alias("_self"))
+    #
+    # Rounds run in BATCHES of lazily-chained propagations with ONE
+    # convergence count per batch: the per-round driver job round-trip
+    # (~0.3 s each locally) was most of the loop's wall on shallow
+    # graphs, and propagating past the fixpoint is idempotent, so
+    # checking only the batch's LAST round is sound — zero changes in
+    # round k means round k-1 already was the fixpoint.  Labels at any
+    # given total round count are identical to the one-check-per-round
+    # form; per-round localCheckpoint still truncates lineage inside a
+    # batch.
+    batch = 4
+    done = 0
+    while done < max_iter:
+        steps = min(batch, max_iter - done)
+        upd = None
+        for _ in range(steps):
+            msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), "lbl", F.lit(False).alias("_self")
             )
-            .groupBy("id")
-            .agg(
-                F.min("lbl").alias("lbl"),
-                F.max(F.when(F.col("_self"), F.col("lbl"))).alias("_old"),
+            upd = (
+                msgs.union(
+                    labels.select("id", "lbl", F.lit(True).alias("_self"))
+                )
+                .groupBy("id")
+                .agg(
+                    F.min("lbl").alias("lbl"),
+                    F.max(F.when(F.col("_self"), F.col("lbl"))).alias("_old"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
+            labels = upd.select("id", "lbl")
+        done += steps
         changed = upd.where(F.col("lbl") != F.col("_old")).count()
-        labels = upd.select("id", "lbl")
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))

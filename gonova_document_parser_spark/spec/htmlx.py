@@ -125,6 +125,8 @@ class Node:
 
 def _normalize_text(s: str) -> str:
     """NFC-normalize and collapse all whitespace runs to single spaces."""
+    if s.isascii():  # NFC is the identity on ASCII — skip the table walk
+        return " ".join(s.split())
     return " ".join(unicodedata.normalize("NFC", s).split())
 
 
@@ -164,43 +166,52 @@ def tokenize(src: str):
     Comments, doctype and processing instructions are dropped; raw-text
     element contents (script/style) are skipped entirely.
     """
+    # hot loop (profiled ~40% of html extraction): local bindings for the
+    # per-tag method lookups, a single char peek replacing the two
+    # startswith probes, and the full-document lowercase deferred until a
+    # raw-text element actually appears — all byte-identical in behavior
     tokens: list[tuple[str, str]] = []
-    low = src.lower()
+    append = tokens.append
+    find = src.find
+    low: str | None = None
     i, n = 0, len(src)
     while i < n:
-        lt = src.find("<", i)
+        lt = find("<", i)
         if lt == -1:
-            tokens.append(("text", src[i:]))
+            append(("text", src[i:]))
             break
         if lt > i:
-            tokens.append(("text", src[i:lt]))
-        if src.startswith("<!--", lt):
-            end = src.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
-            continue
-        if src.startswith("<!", lt) or src.startswith("<?", lt):
-            end = src.find(">", lt)
-            i = n if end == -1 else end + 1
+            append(("text", src[i:lt]))
+        nc = src[lt + 1] if lt + 1 < n else ""
+        if nc == "!" or nc == "?":
+            if src.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            else:
+                end = find(">", lt)
+                i = n if end == -1 else end + 1
             continue
         gt = _tag_end(src, lt, n)
         if gt == -1:
-            tokens.append(("text", src[lt:]))
+            append(("text", src[lt:]))
             break
         raw = src[lt + 1 : gt]
         i = gt + 1
         m = _TAG_NAME_RE.match(raw)
         if m is None:
-            tokens.append(("text", src[lt : gt + 1]))
+            append(("text", src[lt : gt + 1]))
             continue
         tag = m.group(1).lower()
         if raw.startswith("/"):
-            tokens.append(("close", tag))
+            append(("close", tag))
             continue
         self_closing = raw.rstrip().endswith("/")
-        tokens.append(("open", tag))
+        append(("open", tag))
         if self_closing and tag not in VOID_TAGS:
-            tokens.append(("close", tag))
+            append(("close", tag))
         elif tag in ("script", "style", "textarea") and not self_closing:
+            if low is None:
+                low = src.lower()
             # raw-text / RCDATA elements: contents never parse as markup.
             # The close-tag search requires a delimiter after the name so
             # '</scripts>' does not terminate a <script> early.

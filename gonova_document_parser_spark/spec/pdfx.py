@@ -47,6 +47,7 @@ documents are never decrypted (routed to OCR instead).
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -124,9 +125,15 @@ def _is_encrypted(data: bytes) -> bool:
     # nearest "<<" may close a NESTED dict (/DecodeParms << ... >>
     # regularly precedes /Type in real xref streams, and key order is
     # unspecified), whose span would miss /Encrypt in the outer dict.
-    for site, m in enumerate(_XREF_TYPE_RE.finditer(data)):
-        if site >= _MAX_SITES:
-            break
+    # examine the LAST _MAX_SITES /Type /XRef sites (mirror of the trailer
+    # arm's backward scan): the authoritative xref stream is the
+    # last-written one, so > _MAX_SITES decoy keyword sites planted AHEAD
+    # of it can no longer exhaust the cap and smuggle an encrypted
+    # PDF 1.5+ document through as unencrypted.  deque(maxlen=) bounds
+    # memory on match-bomb payloads.
+    from collections import deque
+
+    for m in deque(_XREF_TYPE_RE.finditer(data), maxlen=_MAX_SITES):
         search_end = m.start()
         for _ in range(_MAX_OPENERS):
             start = data.rfind(b"<<", max(0, m.start() - _DICT_WINDOW), search_end)
@@ -578,8 +585,8 @@ def _mat_translate(tx: float, ty: float, m):
 
 def _quantized_rotation(m) -> int:
     """Rotation of matrix ``m``'s x-axis image, snapped to 0/90/180/270."""
-    import math
-
+    if m[1] == 0.0 and m[0] > 0.0:  # unrotated text — the common case
+        return 0
     deg = math.degrees(math.atan2(m[1], m[0]))
     return int(round(deg / 90.0)) % 4 * 90
 

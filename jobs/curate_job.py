@@ -242,6 +242,11 @@ def main(argv: list[str]) -> None:
     eval_path = None
     if "--eval-set" in argv:
         i = argv.index("--eval-set")
+        if i + 1 >= len(argv):
+            raise SystemExit(
+                "usage: curate_job.py <pages> <out> [budget] [max_per_host] "
+                "[--eval-set PATH] [--span-surgery] (--eval-set needs a PATH)"
+            )
         eval_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     argv = [a for a in argv if a != "--span-surgery"]

@@ -188,3 +188,29 @@ def test_store_params_are_pinned_per_store(spark, tmp_path):
             store,
             hash_fn="xxhash64",
         )
+
+
+def test_store_params_sidecar_rejects_family_swap(spark, tmp_path):
+    """ADVICE r5: the dtype guard catches xxhash64<->md5 but not
+    md5<->affine (both STRING) nor changed n/num_hashes/bands.  The
+    _params.json sidecar pins the full parameterization at first use and
+    every later mismatch must raise instead of silently dedup-ing nothing."""
+    import pytest
+
+    from gonova_document_parser_spark.dedup_store import read_store_params
+
+    store = str(tmp_path / "store")
+    run_delta_dedup(spark, _docs(spark, _corpus_rows(range(6))), store, hash_fn="md5")
+    assert read_store_params(spark, store) == {
+        "hash_fn": "md5", "n": 3, "num_hashes": 32, "bands": 8,
+    }
+    delta = _docs(spark, _corpus_rows(range(100, 104)))
+    # md5 -> affine: same band_hash dtype (STRING) — only the sidecar catches it
+    with pytest.raises(ValueError, match="pinned"):
+        run_delta_dedup(spark, delta, store, hash_fn="affine")
+    # changed banding with the same family — also caught
+    with pytest.raises(ValueError, match="pinned"):
+        run_delta_dedup(spark, delta, store, hash_fn="md5", bands=4)
+    # identical parameterization still works
+    s = run_delta_dedup(spark, delta, store, hash_fn="md5")
+    assert s["resumed"] == "full"

@@ -415,3 +415,22 @@ def test_encrypt_in_xref_dict_behind_nested_dict():
         b"/Type /XRef /Size 7 >>\nendobj\n%%EOF\n"
     )
     assert not _is_encrypted(benign)
+
+
+def test_xref_type_decoys_cannot_hide_encrypted_xref_stream():
+    """ADVICE r5: the xref-stream arm must mirror the trailer fix — >64
+    decoy '/Type /XRef' keyword sites planted AHEAD of the authoritative
+    (last-written) encrypted xref stream dict must not exhaust the
+    _MAX_SITES cap and smuggle the document through as unencrypted."""
+    content = b"BT 1 0 0 1 50 700 Tm (would be ciphertext) Tj ET"
+    data = _doc([content])
+    # decoy keyword sites with no parseable << >> dict around them
+    decoys = b"/Type /XRef \n" * 200
+    enc = data.replace(
+        b"%%EOF",
+        decoys
+        + b"<< /Type /XRef /W [1 2 2] /Encrypt 9 0 R /Root 1 0 R >>\n"
+        b"stream\nxx\nendstream\n%%EOF",
+    )
+    assert pdf_text_len(enc) == 0
+    assert extract_pdf_pages(enc) == []
