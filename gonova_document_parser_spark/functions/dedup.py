@@ -251,7 +251,12 @@ def minhash_signatures(
     the whole minhash+banding pipeline), or ``"affine"`` (same hard-oracle
     strength at ~num_hashes x fewer md5 calls: one md5 per shingle feeds
     num_hashes affine transforms mod 2^31-1)."""
-    sh = shingles(df, id_col, text_col, n, distinct=False)
+    # md5-family variants always spread (fan_min_bytes=0): their per-row
+    # cost is an md5 per shingle (x num_hashes for "md5"), which measures
+    # faster fanned even at MBs of input; the cheap xxhash64 path keeps
+    # the adaptive skip (round 6)
+    fan_min = 0 if hash_fn in ("md5", "affine") else EXPR_FANOUT_MIN_BYTES
+    sh = shingles(df, id_col, text_col, n, distinct=False, fan_min_bytes=fan_min)
     if hash_fn == "affine":
         # materialize h0 BEFORE the aggregate: the 32 min() inputs then
         # share one md5 evaluation instead of recomputing it per aggregate
