@@ -679,6 +679,10 @@ def connected_components(
             msgs = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), "lbl", F.lit(False).alias("_self")
             )
+            # per-round checkpoint stays: round s+1 references this frame
+            # TWICE (neighbor join + self union), so an un-checkpointed
+            # round would double its subtree per level — 2^batch plan
+            # copies hanging on AQE runtime reuse (measured: no win)
             upd = (
                 msgs.union(
                     labels.select("id", "lbl", F.lit(True).alias("_self"))

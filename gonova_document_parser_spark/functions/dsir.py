@@ -141,6 +141,12 @@ def importance_weights(
     """
     from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
 
+    # size-adaptive spread for ALL hash families here: unlike the minhash
+    # signature build, the occurrence stream lands in an eager
+    # localCheckpoint, and two full-bench passes measured the forced
+    # spread SLOWER in that shape (2.11 s vs 1.25-1.47 s) — the exchange
+    # plus 32-way checkpoint block write costs more than the single-task
+    # hash at this size
     base = fan_out(
         docs.select(
             F.col(id_col), target_filter.alias("_t"), F.col(text_col)

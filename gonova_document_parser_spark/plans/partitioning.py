@@ -26,10 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Threshold below which fan_out skips the repartition for pure-JVM
-# expression expansions (see fan_out docstring).  ~2 MB of estimated
-# input is the measured local breakeven; a real corpus scan is TBs.
+# expression expansions (see fan_out docstring).  The sf0.1 bench input
+# estimates at ~0.25 MB where the skip saves ~0.3-0.5 s/query; the
+# single-task compute grows linearly with input while the exchange cost
+# is ~constant, so the breakeven sits around 3-4x that size — 1 MB keeps
+# a margin on both sides (skip up to ~4x bench scale, spread beyond).
+# A real corpus scan is TBs and always spreads (or is already split).
 EXPR_FANOUT_MIN_BYTES = int(
-    os.environ.get("GONOVA_FANOUT_MIN_BYTES", str(2 * 1024 * 1024))
+    os.environ.get("GONOVA_FANOUT_MIN_BYTES", str(1024 * 1024))
 )
 
 

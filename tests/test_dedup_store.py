@@ -214,3 +214,57 @@ def test_store_params_sidecar_rejects_family_swap(spark, tmp_path):
     # identical parameterization still works
     s = run_delta_dedup(spark, delta, store, hash_fn="md5")
     assert s["resumed"] == "full"
+
+
+def test_grown_delta_after_bands_only_crash_no_double_dedup(spark, tmp_path):
+    """VERDICT r5 #7 (the _url_digests grown-input analog): a delta killed
+    between the verdicts and bands writes is RETRIED WITH MORE ROWS (the
+    crawl grew before the retry).  The content digest changes, so the
+    retry is a fresh full run under a new snapshot; the old delta's
+    committed verdicts-only directory must neither feed the store view
+    (loaders read bands/ only) nor cause double-dedup — every grown-delta
+    row gets exactly one verdict, store-dups still resolve against the
+    base corpus, and the final store holds each kept doc's bands once."""
+    store = str(tmp_path / "store")
+    run_delta_dedup(spark, _docs(spark, _corpus_rows(range(6))), store)
+    base_fp = _band_fingerprint(spark, store)
+    delta = _docs(
+        spark,
+        [
+            (100, _corpus_rows([2])[0][1]),  # store-dup
+            (101, "novel content entirely about mountain weather patterns"),
+        ],
+    )
+    s1 = run_delta_dedup(spark, delta, store)
+    # crash window: bands write lost, verdicts committed
+    shutil.rmtree(f"{store}/bands/delta={s1['snapshot']}")
+    assert _band_fingerprint(spark, store) == base_fp  # store view clean
+    # the retry arrives with MORE rows than the crashed attempt
+    grown = _docs(
+        spark,
+        [
+            (100, _corpus_rows([2])[0][1]),  # store-dup (as before)
+            (101, "novel content entirely about mountain weather patterns"),
+            (102, "novel content entirely about mountain weather patterns"),
+            (103, "fresh rows about completely different desert geology"),
+        ],
+    )
+    g = run_delta_dedup(spark, grown, store)
+    assert g["resumed"] == "full"  # new content digest -> fresh run
+    assert g["snapshot"] != s1["snapshot"]
+    assert g["n_delta"] == 4
+    assert g["dup_of_store"] == 1  # doc 100 vs the base corpus
+    assert g["dup_in_delta"] == 1  # 102 vs its smaller twin 101
+    assert g["kept"] == 2  # 101 and 103
+    # orphan verdicts/delta=<old> exists but is inert
+    import os
+
+    assert os.path.exists(f"{store}/verdicts/delta={s1['snapshot']}/_SUCCESS")
+    # exactly one band row set per kept doc across the whole store: the
+    # committed view is base + grown-delta keepers, nothing doubled
+    bands = load_store_bands(spark, store)
+    per_doc = bands.groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in per_doc} == set(range(6)) | {101, 103}
+    assert all(r["count"] == 8 for r in per_doc)  # bands=8 rows per doc
+    # idempotent re-invocation of the grown delta is a noop
+    assert run_delta_dedup(spark, grown, store)["resumed"] == "noop"
