@@ -135,12 +135,23 @@ def _pin_store_params(spark: SparkSession, store_path: str, params: dict) -> Non
     if existing is None:
         import json
 
-        fs, p = _fs_and_path(spark, _params_path(store_path))
-        out = fs.create(p, True)
+        # atomic commit: write a temp file, then rename — the module's
+        # kill-anywhere contract means a crash between create and close
+        # must never leave a half-written _params.json that bricks every
+        # later invocation with a JSON parse error.  A same-filesystem
+        # rename is atomic on local FS and HDFS; an orphaned tmp file is
+        # simply overwritten by the retry.
+        fs, tmp = _fs_and_path(spark, _params_path(store_path) + ".tmp")
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
         finally:
             out.close()
+        _, dst = _fs_and_path(spark, _params_path(store_path))
+        if not fs.rename(tmp, dst):
+            raise IOError(
+                f"could not commit {_params_path(store_path)} (rename failed)"
+            )
         return
     if existing != params:
         raise ValueError(

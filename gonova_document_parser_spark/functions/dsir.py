@@ -14,10 +14,12 @@ B-bucket count vectors, not a trained model.
 
 Spark shape: feature extraction is array algebra (tokens + arrays_zip
 tail for bigrams, the ``lm.doc_bigrams`` idiom) followed by ONE explode;
-each model is ONE groupBy over hashed buckets (map-side combine; the
-result is <= B rows).  The two models full-outer-merge into a single
-log-ratio table that BROADCASTS to the probe join — scoring is one
-narrow pass over the corpus plus one groupBy on the doc key.  The only
+both Laplace models come from ONE groupBy over hashed buckets with a
+conditional target sum (map-side combine; the result is <= B rows) and
+the resulting log-ratio table BROADCASTS to the probe join — scoring is
+one narrow pass over the corpus plus one groupBy on the doc key.  The
+occurrence stream is checkpointed at bench scale and recomputed at
+corpus scale (size-adaptive, see ``importance_weights``).  The only
 driver state is two scalars (total feature counts), the same bounded-
 collect policy as ``seq_pack``/``lm.train_bigram_lm``.
 
@@ -37,6 +39,27 @@ from .dedup import _md5_low60
 from .lm import _clean_tokens
 
 
+def _features_of_tokens(ws: Column) -> Column:
+    """uni+bigram feature array from a token-array column — the ONE
+    definition both the public feature table and the fused scoring path
+    build from (shared so tokenization/feature changes cannot drift
+    between the oracle-validated API and the production path)."""
+    tail = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        tail,
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(ws, bigrams)
+
+
+def _bucket_of_feature(feature: Column, n_buckets: int, hash_fn: str) -> Column:
+    """Hashed bucket of one feature string (shared, see above)."""
+    if hash_fn == "affine":
+        return _md5_low60(feature) % F.lit(n_buckets)
+    return F.pmod(F.xxhash64(feature), F.lit(n_buckets))
+
+
 def hashed_ngram_features(
     docs: DataFrame,
     n_buckets: int,
@@ -51,20 +74,14 @@ def hashed_ngram_features(
     algebra before ONE explode; docs shorter than the order contribute
     only what they have.
     """
-    ws = _clean_tokens(text_col)
-    tail = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
-    bigrams = F.zip_with(
-        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-        tail,
-        lambda a, b: F.concat_ws(" ", a, b),
+    out = docs.select(
+        F.col(id_col), _clean_tokens(text_col).alias("_ws")
+    ).select(
+        F.col(id_col), F.explode(_features_of_tokens(F.col("_ws"))).alias("feature")
     )
-    feats = F.concat(ws, bigrams)
-    out = docs.select(F.col(id_col), F.explode(feats).alias("feature"))
-    if hash_fn == "affine":
-        bucket = _md5_low60(F.col("feature")) % F.lit(n_buckets)
-    else:
-        bucket = F.pmod(F.xxhash64("feature"), F.lit(n_buckets))
-    return out.select(id_col, bucket.alias("bucket"))
+    return out.select(
+        id_col, _bucket_of_feature(F.col("feature"), n_buckets, hash_fn).alias("bucket")
+    )
 
 
 def bucket_log_ratio(
@@ -122,58 +139,61 @@ def importance_weights(
     default via coalesce, so the left join never drops a feature.
 
     Round-6 shape (OPTIMIZATION_r06.md, guide §1.2/§2.3): ONE
-    tokenize+hash pass.  The previous composition via two
+    tokenize+hash pass at bench scale.  The previous composition via two
     ``hashed_ngram_features`` tables and ``bucket_log_ratio`` evaluated
     the feature stream FIVE times per run — the two total-count scalars
     each forced a full feature job, and the final query recomputed the
     target model, the raw model AND the scoring stream.  Now the
-    per-occurrence ``(id, is_target, bucket)`` stream is computed once
-    and ``localCheckpoint``-ed (recomputed from parquet on every
-    invocation — nothing persists across runs); the totals ride one tiny
-    aggregate over it; and the two Laplace models collapse into ONE
-    ``groupBy(bucket)`` with a conditional target sum (the target rows
-    are a subset of the raw rows, so the raw bucket set IS the
-    full-outer-merged bucket set of the two-table form, and a bucket
-    never seen in the target gets ct=0 — exactly the old
+    per-occurrence ``(id, is_target, bucket)`` stream is built once; the
+    totals ride one aggregate over it; and the two Laplace models
+    collapse into ONE ``groupBy(bucket)`` with a conditional target sum
+    (the target rows are a subset of the raw rows, so the raw bucket set
+    IS the full-outer-merged bucket set of the two-table form, and a
+    bucket never seen in the target gets ct=0 — exactly the old
     ``coalesce(ct, 0)``).  Scoring still folds the PER-OCCURRENCE rows
     (not per-bucket counts), so the float summation stream the 4dp
     cross-engine contract depends on is unchanged.
+
+    Materialization is SIZE-adaptive: below ``GONOVA_DSIR_MAT_MAX_BYTES``
+    of estimated input (default 256 MB) the occurrence stream is
+    ``localCheckpoint``-ed so the totals job, the model build and the
+    scoring probe share one computed stream (rebuilt every invocation —
+    nothing persists across runs).  Above it — the 100 TB path — the
+    stream stays lazy and is recomputed by its two remaining consumers:
+    at that scale re-running a narrow tokenize+hash is storage-free and
+    fault-tolerant, while pinning an O(corpus tokens) checkpoint in
+    executor block storage is neither.  Driver state stays two scalars
+    either way.
     """
+    import os
+
     from ..plans.partitioning import EXPR_FANOUT_MIN_BYTES, fan_out
 
     # size-adaptive spread for ALL hash families here: unlike the minhash
-    # signature build, the occurrence stream lands in an eager
-    # localCheckpoint, and two full-bench passes measured the forced
+    # signature build, the (bench-scale) occurrence stream lands in an
+    # eager localCheckpoint, and two full-bench passes measured the forced
     # spread SLOWER in that shape (2.11 s vs 1.25-1.47 s) — the exchange
     # plus 32-way checkpoint block write costs more than the single-task
     # hash at this size
-    base = fan_out(
-        docs.select(
-            F.col(id_col), target_filter.alias("_t"), F.col(text_col)
-        ),
-        min_bytes=EXPR_FANOUT_MIN_BYTES,
-    ).select(
-        # materialize the token array once: the feature expression below
+    narrow = docs.select(F.col(id_col), target_filter.alias("_t"), F.col(text_col))
+    est = int(str(narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    base = fan_out(narrow, min_bytes=EXPR_FANOUT_MIN_BYTES).select(
+        # materialize the token array once: the feature expression
         # references it five times (shingles_from_tokens rationale)
         F.col(id_col), F.col("_t"), _clean_tokens(text_col).alias("_ws")
     )
-    ws = F.col("_ws")
-    tail = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
-    bigrams = F.zip_with(
-        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-        tail,
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     occ = base.select(
-        F.col(id_col), F.col("_t"), F.explode(F.concat(ws, bigrams)).alias("feature")
+        F.col(id_col),
+        F.col("_t"),
+        F.explode(_features_of_tokens(F.col("_ws"))).alias("feature"),
+    ).select(
+        id_col,
+        "_t",
+        _bucket_of_feature(F.col("feature"), n_buckets, hash_fn).alias("bucket"),
     )
-    if hash_fn == "affine":
-        bucket = _md5_low60(F.col("feature")) % F.lit(n_buckets)
-    else:
-        bucket = F.pmod(F.xxhash64("feature"), F.lit(n_buckets))
-    occ = occ.select(id_col, "_t", bucket.alias("bucket")).localCheckpoint(
-        eager=True
-    )
+    mat_max = int(os.environ.get("GONOVA_DSIR_MAT_MAX_BYTES", str(256 * 1024 * 1024)))
+    if est < mat_max:
+        occ = occ.localCheckpoint(eager=True)
     row = occ.agg(
         F.count(F.lit(1)).alias("nr"),
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("nt"),

@@ -258,9 +258,12 @@ def pack_sequences(
     # the final window provide their own (tiny, AQE-coalesced)
     # exchanges.  Output is byte-identical: start_offset depends only on
     # the id ORDER, not on where bucket boundaries fall.
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
 
-    if isinstance(df.schema[id_col].dataType, NumericType):
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, NumericType) and not isinstance(
+        id_type, (FloatType, DoubleType)
+    ):
         lohi = narrow.agg(
             F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
         ).first()
@@ -271,18 +274,25 @@ def pack_sequences(
             # (curate_job keys on xxhash64(url)), so (id - lo) overflows
             # BIGINT; the double mapping is monotone non-decreasing in id
             # — all the prefix sum needs — and boundary rounding merely
-            # moves a row between adjacent buckets, never reorders ids
+            # moves a row between adjacent buckets, never reorders ids.
+            # NULL ids take bucket 0: they sort first in the window
+            # (asc = nulls first), matching the range partitioner's
+            # nulls-smallest placement in the fallback path.
             span = float(int(lohi["hi"]) - int(lohi["lo"])) + 1.0
             width = max(1.0, span / n)
-            pid = F.floor(
-                (F.col(id_col).cast("double") - float(lohi["lo"])) / width
+            pid = F.when(F.col(id_col).isNull(), F.lit(0)).otherwise(
+                F.floor(
+                    (F.col(id_col).cast("double") - float(lohi["lo"])) / width
+                )
             )
         ranged = narrow.withColumn("_pid", pid.cast("int")).localCheckpoint(
             eager=False
         )
     else:
-        # non-numeric ids: keep the sampled range partitioning (the
-        # checkpoint pins the otherwise-unstable partition assignment)
+        # non-numeric ids keep the sampled range partitioning (the
+        # checkpoint pins the otherwise-unstable partition assignment);
+        # float/double ids too — NaN breaks the min/max arithmetic while
+        # the range partitioner's NaN-last ordering handles them
         ranged = (
             narrow.repartitionByRange(n, F.col(id_col))
             .withColumn("_pid", F.spark_partition_id())

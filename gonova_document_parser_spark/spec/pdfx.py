@@ -125,28 +125,52 @@ def _is_encrypted(data: bytes) -> bool:
     # nearest "<<" may close a NESTED dict (/DecodeParms << ... >>
     # regularly precedes /Type in real xref streams, and key order is
     # unspecified), whose span would miss /Encrypt in the outer dict.
-    # examine the LAST _MAX_SITES /Type /XRef sites (mirror of the trailer
-    # arm's backward scan): the authoritative xref stream is the
-    # last-written one, so > _MAX_SITES decoy keyword sites planted AHEAD
-    # of it can no longer exhaust the cap and smuggle an encrypted
-    # PDF 1.5+ document through as unencrypted.  deque(maxlen=) bounds
-    # memory on match-bomb payloads.
+    # examine /Type /XRef sites from the END (the authoritative xref
+    # stream is the last-written one), and only sites with a parseable
+    # "<<" opener in their window consume the _MAX_SITES work cap — bare
+    # keyword decoys (no dict anywhere near) cost one bounded rfind and
+    # are skipped free, so neither front- NOR back-planted bare-decoy
+    # floods can push the real encrypted dict out of the budget (the
+    # round-5 fix only closed the front direction).  deque(maxlen=)
+    # bounds total visits (and memory) on match-bomb payloads; the
+    # documented residual is a flood of >_MAX_SITES PARSEABLE dict decoys
+    # written AFTER the authoritative xref dict — a file a conforming
+    # reader (which honors the last startxref) also misreads.
     from collections import deque
 
-    for m in deque(_XREF_TYPE_RE.finditer(data), maxlen=_MAX_SITES):
+    sites_budget = _MAX_SITES
+    for m in reversed(deque(_XREF_TYPE_RE.finditer(data), maxlen=8 * _MAX_SITES)):
+        if sites_budget <= 0:
+            break
         search_end = m.start()
+        parse_worthy = False
         for _ in range(_MAX_OPENERS):
             start = data.rfind(b"<<", max(0, m.start() - _DICT_WINDOW), search_end)
             if start == -1:
                 break
+            if not parse_worthy:
+                parse_worthy = True
+                sites_budget -= 1
             d = bounded_dict(start)
-            if d is not None and start + len(d) > m.start():
-                # this dict's span covers the /Type /XRef key: it IS the
-                # xref stream dict (or an ancestor — either way /Encrypt
-                # inside it marks encryption)
-                if _ENCRYPT_RE.search(d) is not None:
+            if d is not None:
+                if start + len(d) > m.start():
+                    # this dict's span covers the /Type /XRef key: it IS
+                    # the xref stream dict (or an ancestor — either way
+                    # /Encrypt inside it marks encryption)
+                    if _ENCRYPT_RE.search(d) is not None:
+                        return True
+                    break
+                if (
+                    _XREF_TYPE_RE.search(d) is not None
+                    and _ENCRYPT_RE.search(d) is not None
+                ):
+                    # a nearby balanced dict that itself declares
+                    # /Type /XRef with /Encrypt is the encrypted xref
+                    # dict even when this particular keyword site is a
+                    # decoy next to it — without this, decoys planted
+                    # immediately AFTER the real dict would each burn a
+                    # site-budget slot walking past it
                     return True
-                break
             search_end = start
     return False
 

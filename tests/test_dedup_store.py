@@ -268,3 +268,25 @@ def test_grown_delta_after_bands_only_crash_no_double_dedup(spark, tmp_path):
     assert all(r["count"] == 8 for r in per_doc)  # bands=8 rows per doc
     # idempotent re-invocation of the grown delta is a noop
     assert run_delta_dedup(spark, grown, store)["resumed"] == "noop"
+
+
+def test_params_sidecar_commit_is_atomic(spark, tmp_path):
+    """A kill mid-params-write must not brick the store: the sidecar
+    commits via temp+rename, so a crash window leaves either no params
+    file or a complete one — never truncated JSON.  Simulated by
+    planting the orphan tmp file a killed write would leave."""
+    store = str(tmp_path / "store")
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    # the crash artifact: a half-written temp file (never renamed)
+    with open(f"{store}/_params.json.tmp", "w") as fh:
+        fh.write('{"hash_fn": "md')  # truncated
+    from gonova_document_parser_spark.dedup_store import read_store_params
+
+    assert read_store_params(spark, store) is None  # tmp is invisible
+    s = run_delta_dedup(spark, _docs(spark, _corpus_rows(range(4))), store)
+    assert s["resumed"] == "full"
+    assert read_store_params(spark, store) == {
+        "hash_fn": "xxhash64", "n": 3, "num_hashes": 32, "bands": 8,
+    }

@@ -1417,3 +1417,30 @@ def test_lm_shuffle_join_fallback_matches_broadcast(spark):
         for r in lm_perplexity_scores(df, train, broadcast_model=False).collect()
     }
     assert via_bc == via_shuffle and len(via_bc) == 60
+
+
+def test_pack_sequences_null_ids_and_float_ids(spark):
+    """Round-6 regression guards for the arithmetic-bucket prefix sum:
+    NULL integral ids take bucket 0 (sorted first, like the range
+    partitioner placed them), and float ids fall back to the sampled
+    range path so NaN ordering semantics survive."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gonova_document_parser_spark.functions.sampling import pack_sequences
+
+    rows = [(None, "a b c"), (5, "d e"), (1, "f g h i")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["start_offset"], r["n_tokens"])
+           for r in pack_sequences(df, budget=4, n_partitions=4).collect()}
+    # null sorts first: offsets follow null(3 tokens) -> 1(4) -> 5(2)
+    assert out[None] == (0, 3) and out[1] == (3, 4) and out[5] == (7, 2)
+    fdf = spark.createDataFrame(
+        [(1.5, "a b"), (float("nan"), "c"), (0.5, "d e f")],
+        "doc_id double, text string",
+    )
+    got = {("nan" if (r["doc_id"] != r["doc_id"]) else r["doc_id"]): r["start_offset"]
+           for r in pack_sequences(fdf, budget=4, n_partitions=2).collect()}
+    # Spark orders NaN greater than any double: 0.5 -> 1.5 -> NaN
+    assert got[0.5] == 0 and got[1.5] == 3 and got["nan"] == 5

@@ -434,3 +434,21 @@ def test_xref_type_decoys_cannot_hide_encrypted_xref_stream():
     )
     assert pdf_text_len(enc) == 0
     assert extract_pdf_pages(enc) == []
+
+
+def test_xref_back_decoys_cannot_hide_encrypted_xref_stream():
+    """Decoy '/Type /XRef' keyword sites planted AFTER the authoritative
+    encrypted xref dict (the direction the round-5-style last-N window
+    alone would still miss) must not evade detection: bare keyword sites
+    have no parseable dict and never consume the site budget, and a
+    decoy adjacent to the real dict finds it through its own window."""
+    content = b"BT 1 0 0 1 50 700 Tm (would be ciphertext) Tj ET"
+    data = _doc([content])
+    decoys = b"/Type /XRef \n" * 200
+    enc = data.replace(
+        b"%%EOF",
+        b"<< /Type /XRef /W [1 2 2] /Encrypt 9 0 R /Root 1 0 R >>\n"
+        b"stream\nxx\nendstream\n" + decoys + b"%%EOF",
+    )
+    assert pdf_text_len(enc) == 0
+    assert extract_pdf_pages(enc) == []
