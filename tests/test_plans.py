@@ -129,3 +129,30 @@ def test_salt_is_deterministic(spark):
     a = {r["url"]: r["salt"] for r in with_host_salt(pages, 16).collect()}
     b = {r["url"]: r["salt"] for r in with_host_salt(pages.repartition(5), 16).collect()}
     assert a == b
+
+
+def test_fan_out_size_adaptive(spark, pages_parquet):
+    """Round-6 contract: fan_out(min_bytes=) skips the repartition when
+    the optimizer-estimated input is below the threshold, spreads when
+    above it (or when min_bytes is 0/None — the unconditional classes:
+    object-agg consumers, md5-family minhash builds, interpreted-HOF
+    scorers)."""
+    from gonova_document_parser_spark.plans.partitioning import fan_out
+
+    df = spark.read.parquet(pages_parquet).select("url").coalesce(1)
+    # far above the estimate -> skip even though the scan is 1 task
+    skipped = fan_out(df, min_bytes=1 << 40)
+    assert skipped is df
+    # below the estimate -> spread to defaultParallelism
+    spread = fan_out(df, min_bytes=1)
+    assert spread is not df
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # None keeps the historical unconditional behavior
+    uncond = fan_out(df)
+    assert (
+        uncond.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
